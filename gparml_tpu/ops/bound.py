@@ -1,0 +1,128 @@
+"""Collapsed variational lower bound (Titsias 2009 / Titsias & Lawrence 2010).
+
+Re-design of the reference's global bound assembly (GParML
+``partial_terms.py`` ``get_global_statistics``/bound methods, SURVEY.md §2
+[C-HIGH]): the O(M³) terms — Cholesky of K_MM, triangular solves, log-dets,
+traces — computed from the psum-reduced sufficient statistics. Runs on every
+device (replicated) under jit; XLA's linear algebra handles the factorizations.
+
+With A = K_MM + beta * Psi2 (SURVEY.md Appendix A):
+
+  F = -(ND/2) log 2pi + (ND/2) log beta + (D/2) log|K_MM| - (D/2) log|A|
+      - (beta/2) sum_n y_n^T y_n - (beta D/2) psi0 + (beta D/2) tr(K_MM^-1 Psi2)
+      + (beta^2/2) tr(A^-1 (Psi1^T Y)(Psi1^T Y)^T) - KL(q(X)||p(X))
+
+Implementation uses the numerically superior B-form (B = I + beta Lm^-1 Psi2
+Lm^-T, so log|K_MM| - log|A| = -log|B| and A^-1 = Lm^-T B^-1 Lm^-1); the test
+oracle (tests/oracle.py) uses the direct A-form as an independent check.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+from gparml_tpu.ops import ard_rbf
+from gparml_tpu.ops.psi import SufficientStats
+
+_HALF_LOG_2PI = 0.9189385332046727417803297364056176
+
+
+def bound_from_stats(
+    stats: SufficientStats,
+    z: jnp.ndarray,
+    sf2,
+    alpha,
+    beta,
+    d: int,
+    jitter: float = 1e-6,
+) -> jnp.ndarray:
+    """Evidence lower bound F from (already reduced) sufficient statistics.
+
+    Args:
+      stats: global SufficientStats (after psum across the data mesh axis).
+      z: (M, Q) inducing inputs.
+      sf2, alpha, beta: kernel signal variance, ARD precisions, noise precision.
+      d: static output dimensionality D (stats.psi1_y is (M, D)).
+      jitter: relative jitter for the K_MM Cholesky.
+
+    Returns:
+      scalar F (to be *maximized*).
+    """
+    m = z.shape[0]
+    dtype = stats.psi2.dtype
+    n_f = stats.n
+
+    kmm = ard_rbf.kmm(z, sf2, alpha, jitter=jitter)
+    lm = jnp.linalg.cholesky(kmm)
+
+    # C2 = Lm^-1 Psi2 Lm^-T  (M, M)
+    tmp = solve_triangular(lm, stats.psi2, lower=True)
+    c2 = solve_triangular(lm, tmp.T, lower=True)
+    tr_kinv_psi2 = jnp.trace(c2)
+
+    b = jnp.eye(m, dtype=dtype) + beta * 0.5 * (c2 + c2.T)
+    lb = jnp.linalg.cholesky(b)
+    log_det_b = 2.0 * jnp.sum(jnp.log(jnp.diagonal(lb)))
+
+    # tr(A^-1 (Psi1^T Y)(Psi1^T Y)^T) = || LB^-1 Lm^-1 Psi1^T Y ||_F^2
+    c1 = solve_triangular(lm, stats.psi1_y, lower=True)
+    cb = solve_triangular(lb, c1, lower=True)
+    quad = jnp.sum(cb * cb)
+
+    f = (
+        -n_f * d * _HALF_LOG_2PI
+        + 0.5 * n_f * d * jnp.log(beta)
+        - 0.5 * d * log_det_b
+        - 0.5 * beta * stats.yy
+        - 0.5 * beta * d * stats.psi0
+        + 0.5 * beta * d * tr_kinv_psi2
+        + 0.5 * beta * beta * quad
+        - stats.kl
+    )
+    return f
+
+
+def posterior(stats: SufficientStats, z, sf2, alpha, beta, jitter: float = 1e-6):
+    """Collapsed optimal q(u) pieces for prediction.
+
+    Returns (lm, lb, a_inv_psi1y) with A^-1 Psi1^T Y = Lm^-T B^-1 Lm^-1 Psi1^T Y;
+    the predictive mean at X* is beta * K_{*M} (A^-1 Psi1^T Y).
+    """
+    m = z.shape[0]
+    kmm = ard_rbf.kmm(z, sf2, alpha, jitter=jitter)
+    lm = jnp.linalg.cholesky(kmm)
+    tmp = solve_triangular(lm, stats.psi2, lower=True)
+    c2 = solve_triangular(lm, tmp.T, lower=True)
+    b = jnp.eye(m, dtype=stats.psi2.dtype) + beta * 0.5 * (c2 + c2.T)
+    lb = jnp.linalg.cholesky(b)
+    c1 = solve_triangular(lm, stats.psi1_y, lower=True)
+    cb = cho_solve((lb, True), c1)
+    a_inv_psi1y = solve_triangular(lm, cb, lower=True, trans=1)
+    return lm, lb, a_inv_psi1y
+
+
+def predict(
+    x_star: jnp.ndarray,
+    stats: SufficientStats,
+    z: jnp.ndarray,
+    sf2,
+    alpha,
+    beta,
+    jitter: float = 1e-6,
+):
+    """Predictive mean and (diagonal, latent-f + noise) variance at X*.
+
+    mean(x*) = beta K_{*M} A^-1 Psi1^T Y
+    var(x*)  = k(x*,x*) - K_{*M} (K_MM^-1 - A^-1) K_{M*} + 1/beta
+    (SURVEY.md Appendix A "Predictive".)
+    """
+    lm, lb, a_inv_psi1y = posterior(stats, z, sf2, alpha, beta, jitter=jitter)
+    ksm = ard_rbf.k(x_star, z, sf2, alpha)
+    mean = beta * (ksm @ a_inv_psi1y)
+
+    t1 = solve_triangular(lm, ksm.T, lower=True)          # Lm^-1 K_{M*}
+    t2 = solve_triangular(lb, t1, lower=True)             # LB^-1 Lm^-1 K_{M*}
+    kss = ard_rbf.k_diag(x_star, sf2)
+    var_f = kss - jnp.sum(t1 * t1, axis=0) + jnp.sum(t2 * t2, axis=0)
+    return mean, var_f + 1.0 / beta

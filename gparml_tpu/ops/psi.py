@@ -1,0 +1,200 @@
+"""Psi-statistics (Gaussian expectations of the ARD-RBF kernel) — pure JAX.
+
+This is the mathematical core of the framework and the autodiff *oracle* for
+the fused Pallas kernel in ``psi_pallas.py``. It re-designs the reference's
+``partial_terms.py`` psi-statistic code (SURVEY.md §2 [C-HIGH], statistic names
+``exp_K_ii``/``exp_K_mi``/``exp_K_mi_K_im`` [C-MED]) for XLA:
+
+  * closed forms are written as large batched matmuls + elementwise exp so XLA
+    tiles them onto the MXU/VPU,
+  * all derivatives (the reference hand-codes dF/d{Z, alpha, sf2, beta, mu, s})
+    come from ``jax.grad`` of these forward evaluations,
+  * the O(N·M²) Psi2 accumulation is available in a blocked ``lax.scan`` form
+    with rematerialization so memory stays O(block·M²) for arbitrary N.
+
+Definitions (q(x_n) = N(mu_n, diag(s_n)), SURVEY.md Appendix A — numerically
+verified against Monte-Carlo in the survey session):
+
+  psi0        = sum_n <k(x_n, x_n)>           = N * sf2
+  Psi1[n, m]  = <k(x_n, z_m)>
+              = sf2 * prod_q (alpha_q s_nq + 1)^(-1/2)
+                    * exp(-1/2 alpha_q (mu_nq - z_mq)^2 / (alpha_q s_nq + 1))
+  Psi2[m, m'] = sum_n <k(x_n, z_m) k(x_n, z_m')>
+              = sum_n sf2^2 * prod_q (2 alpha_q s_nq + 1)^(-1/2)
+                  * exp(- alpha_q (zb_q - mu_nq)^2 / (2 alpha_q s_nq + 1)
+                        - 1/4 alpha_q (z_mq - z_m'q)^2),   zb = (z_m + z_m')/2
+
+In the s -> 0 limit: Psi1 -> K_NM, Psi2 -> K_NM^T K_NM, psi0 -> N sf2 (used by
+the SGPR fixed-inputs path, where no expectations are needed at all).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gparml_tpu.ops import ard_rbf
+
+
+class SufficientStats(NamedTuple):
+    """Per-shard (or global, after psum) sufficient statistics of the bound.
+
+    These are exactly the quantities the reference's MapReduce layer sums over
+    partitions (``local_MapReduce.py`` reduce step, SURVEY.md §3.4): every
+    field is a plain sum over data points n, so the decomposition is exact
+    under any partition of N.
+    """
+
+    psi0: jnp.ndarray     # () : sum_n <k_nn>
+    psi1_y: jnp.ndarray   # (M, D) : Psi1^T Y
+    psi2: jnp.ndarray     # (M, M) : sum_n Psi2_n
+    yy: jnp.ndarray       # () : sum_{n,d} Y[n,d]^2
+    kl: jnp.ndarray       # () : KL(q(X) || N(0, I)) partial sum
+    n: jnp.ndarray        # () : number of data points (constant wrt params)
+
+    def __add__(self, other: "SufficientStats") -> "SufficientStats":
+        return jax.tree.map(jnp.add, self, other)
+
+
+def psi1(mu: jnp.ndarray, s: jnp.ndarray, z: jnp.ndarray, sf2, alpha) -> jnp.ndarray:
+    """Psi1 matrix, shape (N, M)."""
+    denom = alpha * s + 1.0                          # (N, Q)
+    log_norm = -0.5 * jnp.sum(jnp.log(denom), axis=-1)   # (N,)
+    c = alpha / denom                                 # (N, Q)
+    # -1/2 sum_q c_nq (mu_nq - z_mq)^2
+    #   = -1/2 [ sum_q c mu^2 - 2 sum_q c mu z + sum_q c z^2 ]
+    cm2 = jnp.sum(c * mu * mu, axis=-1)               # (N,)
+    cmz = (c * mu) @ z.T                              # (N, M)
+    cz2 = c @ (z * z).T                               # (N, M)
+    quad = -0.5 * (cm2[:, None] - 2.0 * cmz + cz2)
+    return sf2 * jnp.exp(log_norm[:, None] + quad)
+
+
+def psi2_sum(mu: jnp.ndarray, s: jnp.ndarray, z: jnp.ndarray, sf2, alpha) -> jnp.ndarray:
+    """sum_n Psi2_n, shape (M, M). Materializes (N, M, M) — small N only.
+
+    Decomposition used (also the shape of the Pallas kernel):
+      log Psi2[n,m,m'] = const_n + v_n[m] + v_n[m'] - 1/2 B_n[m,m'] + E0[m,m']
+    with c_nq = alpha_q / (2 alpha_q s_nq + 1):
+      E0[m,m']  = -1/4 sum_q alpha_q (z_mq - z_m'q)^2        (n-independent)
+      B_n[m,m'] = sum_q c_nq z_mq z_m'q                      (per-n MXU matmul)
+      v_n[m]    = -1/4 sum_q c_nq z_mq^2 + 1/2 sum_q c_nq mu_nq z_mq ... see below
+    """
+    log_e0, const_n, v, c = _psi2_pieces(mu, s, z, sf2, alpha)
+    # B_n[m,m'] = sum_q c_nq z_mq z_m'q : batched matmul (N,M,M)
+    b = jnp.einsum("nq,mq,pq->nmp", c, z, z)
+    log_psi2 = (
+        const_n[:, None, None]
+        + v[:, :, None]
+        + v[:, None, :]
+        - 0.5 * b
+        + log_e0[None, :, :]
+    )
+    return jnp.sum(jnp.exp(log_psi2), axis=0)
+
+
+def _psi2_pieces(mu, s, z, sf2, alpha):
+    """Shared scalar/vector pieces of the Psi2 decomposition.
+
+    Returns (log_e0 (M,M), const_n (N,), v (N,M), c (N,Q)).
+
+    Derivation: with a=alpha_q, den = 2 a s + 1, c = a/den, u=z_mq, w=z_m'q,
+      -a(zb - mu)^2/den - a/4 (u-w)^2
+      = -(c/4)(u^2 + w^2 + 2uw) + c mu (u + w) - c mu^2 - (a/4)(u^2 + w^2 - 2uw)
+      = [-(c+a)/4 u^2 + c mu u] + [same in w] + ((a - c)/2) u w - c mu^2
+    and (a - c)/2 = a^2 s / den / ... note a - c = a(1 - 1/den) = 2 a^2 s/den,
+    so the uw coefficient is a^2 s / den. We fold the n-independent -a/4 u w
+    ... instead we keep E0 = -1/4 a (u - w)^2 verbatim and define
+      B_n[m,m'] = sum_q c_nq u w   (so -1/2 B_n + E0 reproduces the cross terms:
+      E0 contributes +a/2 uw and -a/4(u^2+w^2); -c/4(u^2+w^2) - c/2 uw from the
+      first factor; total uw coeff = (a - c)/2 ✓, total u^2 coeff = -(a+c)/4 ✓).
+      v_n[m]    = -1/4 sum_q c_nq u^2 + sum_q c_nq mu_nq u
+      const_n   = 2 log sf2 - 1/2 sum_q log den_nq - sum_q c_nq mu_nq^2
+    """
+    den = 2.0 * alpha * s + 1.0                       # (N, Q)
+    c = alpha / den                                   # (N, Q)
+    log_e0 = -0.25 * ard_rbf.sq_dist(z, z, alpha)     # (M, M)
+    const_n = (
+        2.0 * jnp.log(sf2)
+        - 0.5 * jnp.sum(jnp.log(den), axis=-1)
+        - jnp.sum(c * mu * mu, axis=-1)
+    )                                                 # (N,)
+    v = -0.25 * (c @ (z * z).T) + (c * mu) @ z.T      # (N, M)
+    return log_e0, const_n, v, c
+
+
+def kl_qp(mu: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """KL( prod_n N(mu_n, diag(s_n)) || N(0, I) ), a plain sum over (n, q)."""
+    return 0.5 * jnp.sum(mu * mu + s - jnp.log(s) - 1.0)
+
+
+def suff_stats(
+    y: jnp.ndarray,
+    mu: jnp.ndarray,
+    s: Optional[jnp.ndarray],
+    z: jnp.ndarray,
+    sf2,
+    alpha,
+    block: Optional[int] = None,
+) -> SufficientStats:
+    """Sufficient statistics {psi0, Psi1^T Y, sum Psi2, sum y^2, KL, n}.
+
+    Args:
+      y: (N, D) observations.
+      mu: (N, Q) variational means (GPLVM) or observed inputs X (SGPR).
+      s: (N, Q) variational variances, or None for the SGPR fixed-inputs path
+         (the exact s=0 limit: Psi1 = K_NM, Psi2 = K_NM^T K_NM, KL = 0).
+      z: (M, Q) inducing inputs.
+      sf2, alpha: kernel hypers (positive; alpha shape (Q,)).
+      block: if given, accumulate Psi2 over N-blocks of this size via
+         lax.scan + remat (O(block·M²) memory, any N). N must be a multiple.
+
+    Returns SufficientStats with dtype following the inputs.
+    """
+    n = y.shape[0]
+    n_f = jnp.asarray(n, dtype=y.dtype)
+    yy = jnp.sum(y * y)
+    psi0 = n_f * sf2
+
+    if s is None:
+        knm = ard_rbf.k(mu, z, sf2, alpha)
+        p1y = knm.T @ y
+        p2 = knm.T @ knm
+        kl = jnp.zeros((), dtype=y.dtype)
+        return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
+
+    kl = kl_qp(mu, s)
+    if block is None or block >= n:
+        p1 = psi1(mu, s, z, sf2, alpha)
+        p1y = p1.T @ y
+        p2 = psi2_sum(mu, s, z, sf2, alpha)
+        return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
+
+    if n % block != 0:
+        raise ValueError(f"N={n} must be a multiple of block={block}")
+
+    m = z.shape[0]
+    d = y.shape[1]
+
+    @jax.checkpoint
+    def body(carry, xs):
+        p1y_acc, p2_acc = carry
+        yb, mub, sb = xs
+        p1b = psi1(mub, sb, z, sf2, alpha)
+        p2b = psi2_sum(mub, sb, z, sf2, alpha)
+        return (p1y_acc + p1b.T @ yb, p2_acc + p2b), None
+
+    nb = n // block
+    xs = (
+        y.reshape(nb, block, d),
+        mu.reshape(nb, block, mu.shape[1]),
+        s.reshape(nb, block, s.shape[1]),
+    )
+    init = (
+        jnp.zeros((m, d), dtype=y.dtype),
+        jnp.zeros((m, m), dtype=y.dtype),
+    )
+    (p1y, p2), _ = jax.lax.scan(body, init, xs)
+    return SufficientStats(psi0, p1y, p2, yy, kl, n_f)

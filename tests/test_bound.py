@@ -1,0 +1,99 @@
+"""Bound parity (B-form vs oracle's A-form), dense-GP limit, and gradient
+checks via finite differences (SURVEY.md §4 items 1-2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.test_util import check_grads
+
+from gparml_tpu.ops import bound, psi
+from tests import oracle
+from tests.conftest import make_problem
+
+RTOL = 1e-8
+
+
+def _stats(y, mu, s, z, sf2, alpha):
+    return psi.suff_stats(
+        jnp.asarray(y), jnp.asarray(mu),
+        None if s is None else jnp.asarray(s),
+        jnp.asarray(z), sf2, jnp.asarray(alpha),
+    )
+
+
+def test_gplvm_bound_matches_oracle(rng):
+    y, mu, s, z, sf2, alpha, beta = make_problem(rng)
+    st = _stats(y, mu, s, z, sf2, alpha)
+    got = bound.bound_from_stats(st, jnp.asarray(z), sf2, jnp.asarray(alpha), beta, d=y.shape[1])
+    want = oracle.bound(y, mu, s, z, sf2, alpha, beta)
+    np.testing.assert_allclose(got, want, rtol=RTOL)
+
+
+def test_sgpr_bound_matches_oracle(rng):
+    y, x, s, z, sf2, alpha, beta = make_problem(rng, latent=False)
+    st = _stats(y, x, None, z, sf2, alpha)
+    got = bound.bound_from_stats(st, jnp.asarray(z), sf2, jnp.asarray(alpha), beta, d=y.shape[1])
+    want = oracle.bound(y, x, None, z, sf2, alpha, beta)
+    np.testing.assert_allclose(got, want, rtol=RTOL)
+
+
+def test_dense_gp_limit(rng):
+    """Z = X, s -> 0 (and no KL): the collapsed bound reproduces the exact
+    dense-GP marginal log-likelihood (Titsias bound is tight at Z=X)."""
+    n, d, q = 10, 2, 2
+    x = rng.standard_normal((n, q))
+    y = rng.standard_normal((n, d))
+    sf2, beta = 1.7, 3.0
+    alpha = rng.uniform(0.5, 1.5, size=(q,))
+    st = _stats(y, x, None, x, sf2, alpha)
+    got = bound.bound_from_stats(
+        st, jnp.asarray(x), sf2, jnp.asarray(alpha), beta, d=d, jitter=1e-10
+    )
+    want = oracle.dense_gp_loglik(y, x, sf2, alpha, beta)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_bound_upper_bounded_by_dense_gp(rng):
+    """For fixed hypers, the sparse bound with M < N inducing points must lie
+    below the dense marginal likelihood."""
+    n, d, q, m = 12, 2, 2, 4
+    x = rng.standard_normal((n, q))
+    y = rng.standard_normal((n, d))
+    z = rng.standard_normal((m, q))
+    sf2, beta = 1.1, 2.0
+    alpha = np.ones(q)
+    st = _stats(y, x, None, z, sf2, alpha)
+    f = bound.bound_from_stats(st, jnp.asarray(z), sf2, jnp.asarray(alpha), beta, d=d)
+    ll = oracle.dense_gp_loglik(y, x, sf2, alpha, beta)
+    assert float(f) < ll
+
+
+def test_gradients_vs_finite_differences(rng):
+    """jax.grad of the full objective vs numerical differentiation — replaces
+    the reference's hand-coded-derivative FD scripts (SURVEY.md §4 item 1)."""
+    y, mu, s, z, sf2, alpha, beta = make_problem(rng, n=8, d=2, q=2, m=4)
+    yj = jnp.asarray(y)
+
+    def f(muj, sj, zj, sf2j, alphaj, betaj):
+        st = psi.suff_stats(yj, muj, sj, zj, sf2j, alphaj)
+        return bound.bound_from_stats(st, zj, sf2j, alphaj, betaj, d=y.shape[1])
+
+    args = (
+        jnp.asarray(mu), jnp.asarray(s), jnp.asarray(z),
+        jnp.asarray(sf2), jnp.asarray(alpha), jnp.asarray(beta),
+    )
+    check_grads(f, args, order=1, modes=["rev"], atol=1e-5, rtol=1e-5)
+
+
+def test_predict_recovers_function(rng):
+    """SGPR prediction on noiseless-ish data interpolates the training data."""
+    n, m = 40, 20
+    x = np.linspace(-3, 3, n)[:, None]
+    y = np.sin(x)
+    z = np.linspace(-3, 3, m)[:, None]
+    sf2, beta = 1.0, 1e4
+    alpha = np.array([1.0])
+    st = _stats(y, x, None, z, sf2, alpha)
+    mean, var = bound.predict(jnp.asarray(x), st, jnp.asarray(z), sf2, jnp.asarray(alpha), beta)
+    np.testing.assert_allclose(mean, y, atol=2e-2)
+    assert np.all(np.asarray(var) > 0)
