@@ -1,0 +1,135 @@
+"""Bayesian GPLVM (Titsias & Lawrence 2010) with variational q(X) —
+the reference's flagship model (``parallel_GPLVM.py`` main path,
+SURVEY.md §3.1): latents X get a factorized Gaussian posterior
+q(x_n) = N(mu_n, diag(s_n)) whose parameters are optimized jointly with the
+globals. Where the reference keeps (mu_n, s_n) in per-partition files driven
+by the SCG ``embeddings_*`` file ops, here they are (N, Q) leaves of the
+parameter pytree that shard over the data mesh axis."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gparml_tpu.models import params as P
+from gparml_tpu.ops import bound as bound_ops
+from gparml_tpu.ops import psi
+from gparml_tpu.opt import optax_adapter, scg
+from gparml_tpu.utils import init as init_utils
+
+
+@dataclass(frozen=True)
+class GPLVMConfig:
+    q: int = 2                       # latent dimensionality (reference -q)
+    num_inducing: int = 10           # reference -m
+    bijector: str = "exp"
+    jitter: float = 1e-6
+    block: Optional[int] = None
+    init: str = "pca"                # reference --init {PCA, random}
+    s0: float = 0.5                  # initial variational variance
+    fixed_embeddings: bool = False   # reference --fixed_embeddings
+    fixed_beta: bool = False         # reference --fixed_beta
+    fixed_z: bool = False
+    fixed_hypers: bool = False
+
+
+class FitResult(NamedTuple):
+    params: P.GPLVMParams
+    bound: jnp.ndarray
+    history: jnp.ndarray
+    n_evals: jnp.ndarray
+
+
+def init_params(
+    key,
+    y: jnp.ndarray,
+    config: GPLVMConfig,
+    sf2: float = 1.0,
+    alpha=None,
+    beta: Optional[float] = None,
+) -> P.GPLVMParams:
+    """PCA (or random) latent init; Z sampled from the initialized latents;
+    hypers default to sf2=1, alpha=1, beta=10/var(Y) (reference defaults,
+    SURVEY.md §3.1/§3.5 [C-MED])."""
+    k1, k2 = jax.random.split(key)
+    mu, s = init_utils.init_latents(k1, y, config.q, method=config.init, s0=config.s0)
+    z = init_utils.init_inducing(k2, mu, config.num_inducing)
+    if alpha is None:
+        alpha = jnp.ones((config.q,), dtype=y.dtype)
+    if beta is None:
+        beta = 10.0 / jnp.maximum(jnp.var(y), 1e-6)
+    glob = P.make_global(z, sf2, alpha, beta, bijector=config.bijector)
+    lat = P.make_latents(mu, s, bijector=config.bijector)
+    return P.GPLVMParams(glob=glob, lat=lat)
+
+
+def suff_stats(p: P.GPLVMParams, y, config: GPLVMConfig) -> psi.SufficientStats:
+    z, sf2, alpha, _ = P.constrain(p.glob, config.bijector)
+    mu, s = P.constrain_latents(p.lat, config.bijector)
+    return psi.suff_stats(y, mu, s, z, sf2, alpha, block=config.block)
+
+
+def log_bound(p: P.GPLVMParams, y, config: GPLVMConfig) -> jnp.ndarray:
+    z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
+    mu, s = P.constrain_latents(p.lat, config.bijector)
+    stats = psi.suff_stats(y, mu, s, z, sf2, alpha, block=config.block)
+    return bound_ops.bound_from_stats(
+        stats, z, sf2, alpha, beta, d=y.shape[1], jitter=config.jitter
+    )
+
+
+def neg_bound_value_and_grad(p, y, config: GPLVMConfig, mask=None):
+    f, grad = jax.value_and_grad(lambda pp: -log_bound(pp, y, config))(p)
+    if mask is not None:
+        grad = P.apply_mask(grad, mask)
+    return f, grad
+
+
+def fit(
+    p0: P.GPLVMParams,
+    y: jnp.ndarray,
+    config: GPLVMConfig,
+    iters: int = 100,
+    optimizer: str = "scg",
+    learning_rate: float = 1e-2,
+    scg_options: Optional[scg.SCGOptions] = None,
+) -> FitResult:
+    mask = P.grad_mask(
+        p0,
+        fixed_beta=config.fixed_beta,
+        fixed_embeddings=config.fixed_embeddings,
+        fixed_z=config.fixed_z,
+        fixed_hypers=config.fixed_hypers,
+    )
+
+    def vg(p):
+        return neg_bound_value_and_grad(p, y, config, mask)
+
+    if optimizer == "scg":
+        opts = scg_options or scg.SCGOptions(max_iters=iters)
+        st = jax.jit(lambda p: scg.minimize(vg, p, opts))(p0)
+        return FitResult(st.x, -st.f_now, -st.history, st.n_evals)
+    elif optimizer in ("adam", "gd"):
+        import optax
+        rule = optax.adam(learning_rate) if optimizer == "adam" else optax.sgd(learning_rate)
+        res = jax.jit(
+            lambda p: optax_adapter.minimize(vg, p, iters, optimizer=rule)
+        )(p0)
+        return FitResult(res.x, -res.f_now, -res.history, res.n_evals)
+    raise ValueError(f"unknown optimizer {optimizer!r}; options: scg, adam, gd")
+
+
+def predict_observed(p: P.GPLVMParams, y, x_star, config: GPLVMConfig):
+    """Predictive p(y* | x*) at given latent locations x_star."""
+    z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
+    mu, s = P.constrain_latents(p.lat, config.bijector)
+    stats = psi.suff_stats(y, mu, s, z, sf2, alpha, block=config.block)
+    return bound_ops.predict(x_star, stats, z, sf2, alpha, beta, jitter=config.jitter)
+
+
+def latents(p: P.GPLVMParams, config: GPLVMConfig):
+    """The learned latent embedding (mu, s) in natural space."""
+    return P.constrain_latents(p.lat, config.bijector)

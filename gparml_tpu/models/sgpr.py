@@ -1,0 +1,123 @@
+"""Sparse variational GP regression (Titsias 2009) — the reference's
+``--fixed_embeddings`` mode (SURVEY.md §3.2): inputs X observed, s ≡ 0,
+psi-statistics collapse to plain kernel products (Psi1 = K_NM,
+Psi2 = K_NM^T K_NM ride the MXU directly), KL(q(X)) vanishes, and the
+parameter vector holds only globals (Z, kernel hypers, noise precision)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gparml_tpu.models import params as P
+from gparml_tpu.ops import bound as bound_ops
+from gparml_tpu.ops import psi
+from gparml_tpu.opt import optax_adapter, scg
+from gparml_tpu.utils import init as init_utils
+
+
+@dataclass(frozen=True)
+class SGPRConfig:
+    num_inducing: int = 10
+    bijector: str = "exp"
+    jitter: float = 1e-6
+    block: Optional[int] = None      # N-block size for the scanned psi path
+    fixed_beta: bool = False         # reference --fixed_beta
+    fixed_z: bool = False
+    fixed_hypers: bool = False
+
+
+class FitResult(NamedTuple):
+    params: P.GlobalParams
+    bound: jnp.ndarray          # final evidence lower bound (maximized)
+    history: jnp.ndarray        # per-iteration bound values
+    n_evals: jnp.ndarray
+
+
+def init_params(
+    key,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    config: SGPRConfig,
+    sf2: Optional[float] = None,
+    alpha=None,
+    beta: Optional[float] = None,
+) -> P.GlobalParams:
+    """Data-driven defaults: Z = random rows of X, sf2 = var(Y),
+    alpha = 1/var(X_q), beta = 10/var(Y)."""
+    z = init_utils.init_inducing(key, x, config.num_inducing)
+    var_y = jnp.maximum(jnp.var(y), 1e-6)
+    if sf2 is None:
+        sf2 = var_y
+    if alpha is None:
+        alpha = 1.0 / jnp.maximum(jnp.var(x, axis=0), 1e-6)
+    if beta is None:
+        beta = 10.0 / var_y
+    return P.make_global(z, sf2, alpha, beta, bijector=config.bijector)
+
+
+def suff_stats(g: P.GlobalParams, x, y, config: SGPRConfig) -> psi.SufficientStats:
+    z, sf2, alpha, _ = P.constrain(g, config.bijector)
+    return psi.suff_stats(y, x, None, z, sf2, alpha, block=config.block)
+
+
+def log_bound(g: P.GlobalParams, x, y, config: SGPRConfig) -> jnp.ndarray:
+    """Evidence lower bound F (to maximize)."""
+    z, sf2, alpha, beta = P.constrain(g, config.bijector)
+    stats = psi.suff_stats(y, x, None, z, sf2, alpha, block=config.block)
+    return bound_ops.bound_from_stats(
+        stats, z, sf2, alpha, beta, d=y.shape[1], jitter=config.jitter
+    )
+
+
+def neg_bound_value_and_grad(g, x, y, config: SGPRConfig, mask=None):
+    """(-F, masked grad) — the SCG objective. One fused pass replaces the
+    reference's likelihood_and_gradient MapReduce round (SURVEY.md §3.1)."""
+    f, grad = jax.value_and_grad(lambda gg: -log_bound(gg, x, y, config))(g)
+    if mask is not None:
+        grad = P.apply_mask(grad, mask)
+    return f, grad
+
+
+def fit(
+    g0: P.GlobalParams,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    config: SGPRConfig,
+    iters: int = 100,
+    optimizer: str = "scg",
+    learning_rate: float = 1e-2,
+    scg_options: Optional[scg.SCGOptions] = None,
+) -> FitResult:
+    """Maximize the bound with SCG (default, matching the reference) or an
+    optax rule. The whole optimization is one jit'd computation."""
+    mask = P.grad_mask(
+        g0, fixed_beta=config.fixed_beta, fixed_z=config.fixed_z,
+        fixed_hypers=config.fixed_hypers,
+    )
+
+    def vg(g):
+        return neg_bound_value_and_grad(g, x, y, config, mask)
+
+    if optimizer == "scg":
+        opts = scg_options or scg.SCGOptions(max_iters=iters)
+        st = jax.jit(lambda g: scg.minimize(vg, g, opts))(g0)
+        return FitResult(st.x, -st.f_now, -st.history, st.n_evals)
+    elif optimizer in ("adam", "gd"):
+        import optax
+        rule = optax.adam(learning_rate) if optimizer == "adam" else optax.sgd(learning_rate)
+        res = jax.jit(
+            lambda g: optax_adapter.minimize(vg, g, iters, optimizer=rule)
+        )(g0)
+        return FitResult(res.x, -res.f_now, -res.history, res.n_evals)
+    raise ValueError(f"unknown optimizer {optimizer!r}; options: scg, adam, gd")
+
+
+def predict(g: P.GlobalParams, x, y, x_star, config: SGPRConfig):
+    """Predictive mean and variance (incl. noise) at x_star."""
+    z, sf2, alpha, beta = P.constrain(g, config.bijector)
+    stats = psi.suff_stats(y, x, None, z, sf2, alpha, block=config.block)
+    return bound_ops.predict(x_star, stats, z, sf2, alpha, beta, jitter=config.jitter)

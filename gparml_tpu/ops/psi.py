@@ -72,8 +72,11 @@ def psi1(mu: jnp.ndarray, s: jnp.ndarray, z: jnp.ndarray, sf2, alpha) -> jnp.nda
     return sf2 * jnp.exp(log_norm[:, None] + quad)
 
 
-def psi2_sum(mu: jnp.ndarray, s: jnp.ndarray, z: jnp.ndarray, sf2, alpha) -> jnp.ndarray:
-    """sum_n Psi2_n, shape (M, M). Materializes (N, M, M) — small N only.
+def psi2_sum(
+    mu: jnp.ndarray, s: jnp.ndarray, z: jnp.ndarray, sf2, alpha,
+    weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """sum_n w_n * Psi2_n, shape (M, M). Materializes (N, M, M) — small N only.
 
     Decomposition used (also the shape of the Pallas kernel):
       log Psi2[n,m,m'] = const_n + v_n[m] + v_n[m'] - 1/2 B_n[m,m'] + E0[m,m']
@@ -92,7 +95,10 @@ def psi2_sum(mu: jnp.ndarray, s: jnp.ndarray, z: jnp.ndarray, sf2, alpha) -> jnp
         - 0.5 * b
         + log_e0[None, :, :]
     )
-    return jnp.sum(jnp.exp(log_psi2), axis=0)
+    p2 = jnp.exp(log_psi2)
+    if weights is not None:
+        p2 = p2 * weights[:, None, None]
+    return jnp.sum(p2, axis=0)
 
 
 def _psi2_pieces(mu, s, z, sf2, alpha):
@@ -125,9 +131,14 @@ def _psi2_pieces(mu, s, z, sf2, alpha):
     return log_e0, const_n, v, c
 
 
-def kl_qp(mu: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+def kl_qp(
+    mu: jnp.ndarray, s: jnp.ndarray, weights: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     """KL( prod_n N(mu_n, diag(s_n)) || N(0, I) ), a plain sum over (n, q)."""
-    return 0.5 * jnp.sum(mu * mu + s - jnp.log(s) - 1.0)
+    per_n = 0.5 * jnp.sum(mu * mu + s - jnp.log(s) - 1.0, axis=-1)
+    if weights is not None:
+        per_n = per_n * weights
+    return jnp.sum(per_n)
 
 
 def suff_stats(
@@ -138,6 +149,7 @@ def suff_stats(
     sf2,
     alpha,
     block: Optional[int] = None,
+    weights: Optional[jnp.ndarray] = None,
 ) -> SufficientStats:
     """Sufficient statistics {psi0, Psi1^T Y, sum Psi2, sum y^2, KL, n}.
 
@@ -150,26 +162,36 @@ def suff_stats(
       sf2, alpha: kernel hypers (positive; alpha shape (Q,)).
       block: if given, accumulate Psi2 over N-blocks of this size via
          lax.scan + remat (O(block·M²) memory, any N). N must be a multiple.
+      weights: optional (N,) per-point weights (0/1 masks for padded shards,
+         or fractional weights for minibatch scaling). All statistics become
+         sum_n w_n * (...); ``n`` becomes sum_n w_n.
 
     Returns SufficientStats with dtype following the inputs.
     """
     n = y.shape[0]
-    n_f = jnp.asarray(n, dtype=y.dtype)
-    yy = jnp.sum(y * y)
+    if weights is None:
+        n_f = jnp.asarray(n, dtype=y.dtype)
+        yw = y
+        yy = jnp.sum(y * y)
+    else:
+        n_f = jnp.sum(weights)
+        yw = y * weights[:, None]
+        yy = jnp.sum(yw * y)
     psi0 = n_f * sf2
 
     if s is None:
         knm = ard_rbf.k(mu, z, sf2, alpha)
-        p1y = knm.T @ y
-        p2 = knm.T @ knm
+        p1y = knm.T @ yw
+        knm_w = knm if weights is None else knm * jnp.sqrt(weights)[:, None]
+        p2 = knm_w.T @ knm_w
         kl = jnp.zeros((), dtype=y.dtype)
         return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
 
-    kl = kl_qp(mu, s)
+    kl = kl_qp(mu, s, weights)
     if block is None or block >= n:
         p1 = psi1(mu, s, z, sf2, alpha)
-        p1y = p1.T @ y
-        p2 = psi2_sum(mu, s, z, sf2, alpha)
+        p1y = p1.T @ yw
+        p2 = psi2_sum(mu, s, z, sf2, alpha, weights)
         return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
 
     if n % block != 0:
@@ -177,20 +199,22 @@ def suff_stats(
 
     m = z.shape[0]
     d = y.shape[1]
+    nb = n // block
+    w = jnp.ones((n,), dtype=y.dtype) if weights is None else weights
 
     @jax.checkpoint
     def body(carry, xs):
         p1y_acc, p2_acc = carry
-        yb, mub, sb = xs
+        yb, mub, sb, wb = xs
         p1b = psi1(mub, sb, z, sf2, alpha)
-        p2b = psi2_sum(mub, sb, z, sf2, alpha)
-        return (p1y_acc + p1b.T @ yb, p2_acc + p2b), None
+        p2b = psi2_sum(mub, sb, z, sf2, alpha, wb)
+        return (p1y_acc + p1b.T @ (yb * wb[:, None]), p2_acc + p2b), None
 
-    nb = n // block
     xs = (
         y.reshape(nb, block, d),
         mu.reshape(nb, block, mu.shape[1]),
         s.reshape(nb, block, s.shape[1]),
+        w.reshape(nb, block),
     )
     init = (
         jnp.zeros((m, d), dtype=y.dtype),

@@ -1,0 +1,196 @@
+"""Scaled Conjugate Gradients (Moller 1993) — jit'd end-to-end.
+
+TPU-native re-design of GParML ``scg_adapted.py`` (SURVEY.md §2-3 [C-HIGH]),
+which adapted Netlab/GPy SCG so that (a) the objective returns value AND
+gradient from one MapReduce pass, (b) the parameter vector is split between
+in-memory globals and on-disk per-partition embeddings, with every inner
+product computed as an in-memory part plus a map-reduced file part
+(``embeddings_get_grads_{mu,kappa,gamma}`` etc.), and (c) step updates are
+written back to every partition's files.
+
+Here the whole algorithm is one ``lax.while_loop`` under ``jit``:
+
+  * the parameter "vector" is a pytree; sharded leaves (the (N, Q) variational
+    params) stay sharded, so inner products are sharded vdots that XLA reduces
+    over ICI — the entire embeddings-file-ops family disappears;
+  * the objective is a single fused ``value_and_grad`` evaluation, so the
+    reference's per-x statistics cache (needed because SCG probes re-evaluate
+    f at the same x) is unnecessary by construction;
+  * data-dependent accept/reject and lambda adaptation use ``lax.cond`` /
+    ``jnp.where`` — no recompilation across iterations.
+
+Each SCG iteration costs at most 2 objective evaluations (the sigma probe and
+the candidate step; the candidate's gradient doubles as the next iterate's
+gradient on acceptance) vs the reference's 2-3 full MapReduce passes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gparml_tpu.models.params import tree_axpy, tree_dot, tree_neg
+
+
+class SCGOptions(NamedTuple):
+    max_iters: int = 100
+    xtol: float = 1e-8        # min step size before convergence declared
+    ftol: float = 1e-8        # min |f - fold| before convergence declared
+    gtol: float = 1e-10       # ||grad||^2 threshold
+    sigma0: float = 1e-4      # finite-difference probe scale
+    lam0: float = 1.0         # initial scale/regularization lambda
+    lam_min: float = 1e-15
+    lam_max: float = 1e100
+
+
+class SCGState(NamedTuple):
+    x: object          # current params pytree
+    f_now: jnp.ndarray
+    f_old: jnp.ndarray
+    g_new: object      # gradient at x
+    g_old: object
+    d: object          # search direction
+    lam: jnp.ndarray
+    mu: jnp.ndarray    # d . g
+    kappa: jnp.ndarray # d . d
+    theta: jnp.ndarray # curvature estimate d^T H d
+    success: jnp.ndarray   # bool: last step accepted
+    nsuccess: jnp.ndarray  # successes since last restart
+    iteration: jnp.ndarray
+    done: jnp.ndarray
+    n_evals: jnp.ndarray   # objective evaluations so far
+    history: jnp.ndarray   # (max_iters,) f value per iteration (nan-padded)
+
+
+def _tree_max_abs(t) -> jnp.ndarray:
+    leaves = [jnp.max(jnp.abs(l)) for l in jax.tree.leaves(t)]
+    return jnp.array(leaves).max()
+
+
+def minimize(
+    value_and_grad_fn: Callable,
+    x0,
+    options: SCGOptions = SCGOptions(),
+) -> SCGState:
+    """Minimize ``value_and_grad_fn`` (params -> (f, grad pytree)) with SCG.
+
+    Returns the final SCGState; ``state.x`` are the optimized params,
+    ``state.history`` the per-iteration objective values (nan where the loop
+    had already converged). Call under jit for a fully fused loop.
+    """
+    nparams = sum(l.size for l in jax.tree.leaves(x0))
+
+    f0, g0 = value_and_grad_fn(x0)
+    d0 = tree_neg(g0)
+    history0 = jnp.full((options.max_iters,), jnp.nan, dtype=f0.dtype)
+
+    state = SCGState(
+        x=x0,
+        f_now=f0,
+        f_old=f0,
+        g_new=g0,
+        g_old=g0,
+        d=d0,
+        lam=jnp.asarray(options.lam0, dtype=f0.dtype),
+        mu=jnp.zeros((), f0.dtype),
+        kappa=jnp.zeros((), f0.dtype),
+        theta=jnp.zeros((), f0.dtype),
+        success=jnp.asarray(True),
+        nsuccess=jnp.zeros((), jnp.int32),
+        iteration=jnp.zeros((), jnp.int32),
+        done=jnp.asarray(False),
+        n_evals=jnp.ones((), jnp.int32),
+        history=history0,
+    )
+
+    def cond(st: SCGState):
+        return jnp.logical_and(st.iteration < options.max_iters, ~st.done)
+
+    def body(st: SCGState) -> SCGState:
+        dt = st.f_now.dtype
+
+        # --- (re)compute direction scalars + curvature probe on success ---
+        def probe(st: SCGState):
+            mu = tree_dot(st.d, st.g_new)
+            # if mu >= 0 the direction is not a descent direction: restart
+            bad = mu >= 0
+            d = jax.tree.map(
+                lambda di, gi: jnp.where(bad, -gi, di), st.d, st.g_new
+            )
+            mu = jnp.where(bad, tree_dot(d, st.g_new), mu)
+            kappa = tree_dot(d, d)
+            kappa = jnp.maximum(kappa, jnp.asarray(1e-300 if dt == jnp.float64 else 1e-30, dt))
+            sigma = options.sigma0 / jnp.sqrt(kappa)
+            _, g_plus = value_and_grad_fn(tree_axpy(sigma, d, st.x))
+            theta = (tree_dot(d, g_plus) - mu) / sigma
+            return st._replace(
+                d=d, mu=mu, kappa=kappa, theta=theta,
+                n_evals=st.n_evals + 1,
+            )
+
+        st = jax.lax.cond(st.success, probe, lambda s: s, st)
+
+        # --- scale curvature: delta = theta + lam * kappa, force positive ---
+        delta = st.theta + st.lam * st.kappa
+        neg = delta <= 0
+        lam = jnp.where(neg, st.lam - st.theta / st.kappa, st.lam)
+        delta = jnp.where(neg, lam * st.kappa, delta)
+
+        # --- candidate step ---
+        alpha = -st.mu / delta
+        x_new = tree_axpy(alpha, st.d, st.x)
+        f_new, g_cand = value_and_grad_fn(x_new)
+        ratio = 2.0 * (f_new - st.f_old) / (alpha * st.mu)
+        ok = jnp.logical_and(ratio >= 0, jnp.isfinite(f_new))
+
+        # --- accept / reject ---
+        x = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), x_new, st.x
+        )
+        f_now = jnp.where(ok, f_new, st.f_old)
+        nsuccess = jnp.where(ok, st.nsuccess + 1, st.nsuccess)
+
+        # on acceptance the candidate gradient is the new gradient
+        g_old = jax.tree.map(lambda a, b: jnp.where(ok, a, b), st.g_new, st.g_old)
+        g_new = jax.tree.map(lambda a, b: jnp.where(ok, a, b), g_cand, st.g_new)
+
+        # convergence tests (only meaningful after an accepted step)
+        small_step = _tree_max_abs(jax.tree.map(lambda di: alpha * di, st.d)) < options.xtol
+        small_df = jnp.abs(f_new - st.f_old) < options.ftol
+        gg = tree_dot(g_new, g_new)
+        done = jnp.logical_and(ok, jnp.logical_and(small_step, small_df))
+        done = jnp.logical_or(done, gg < options.gtol)
+
+        f_old = jnp.where(ok, f_new, st.f_old)
+
+        # --- lambda adaptation ---
+        lam = jnp.where(ratio < 0.25, jnp.minimum(4.0 * lam, options.lam_max), lam)
+        lam = jnp.where(ratio > 0.75, jnp.maximum(0.5 * lam, options.lam_min), lam)
+        lam = jnp.where(jnp.isfinite(f_new), lam, jnp.minimum(4.0 * lam, options.lam_max))
+
+        # --- new direction: periodic restart or Polak-Ribiere-style update ---
+        restart = nsuccess >= nparams
+        gamma = (tree_dot(g_old, g_new) - tree_dot(g_new, g_new)) / st.mu
+        d = jax.tree.map(
+            lambda di, gi: jnp.where(
+                restart,
+                -gi,
+                jnp.where(ok, gamma * di - gi, di),
+            ),
+            st.d, g_new,
+        )
+        nsuccess = jnp.where(restart, 0, nsuccess)
+
+        history = st.history.at[st.iteration].set(f_now)
+
+        return SCGState(
+            x=x, f_now=f_now, f_old=f_old, g_new=g_new, g_old=g_old, d=d,
+            lam=lam, mu=st.mu, kappa=st.kappa, theta=st.theta,
+            success=ok, nsuccess=nsuccess,
+            iteration=st.iteration + 1, done=done,
+            n_evals=st.n_evals + 1, history=history,
+        )
+
+    return jax.lax.while_loop(cond, body, state)

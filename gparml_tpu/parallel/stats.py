@@ -1,0 +1,79 @@
+"""Data-parallel sufficient statistics: shard_map + psum over the mesh.
+
+This module *is* the reference's MapReduce layer, re-designed for TPUs
+(GParML ``local_MapReduce.py`` / remote twin, SURVEY.md §2 [C-HIGH]):
+
+  reference                              | here
+  ---------------------------------------+--------------------------------
+  map: one OS process per partition      | shard_map body on each device
+  computes per-partition psi statistics  | computes per-shard SufficientStats
+  writes partial-stat .npy files to tmp/ | (stays in registers/VMEM)
+  reduce: sum partial files on master    | one psum over ICI/DCN
+  statistics caching keyed on params     | unnecessary: value_and_grad is one
+  (SCG probes re-evaluate same x)        | fused pass under jit
+
+One psum of (M² + M·D + 4) floats per bound+grad evaluation replaces
+thousands of file writes. Gradients flow through the psum (its transpose is
+the identity broadcast), so jax.grad of the distributed bound is exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gparml_tpu.ops import psi
+from gparml_tpu.parallel.mesh import DATA_AXIS
+
+
+def suff_stats_sharded(
+    y,
+    mu,
+    s,
+    z,
+    sf2,
+    alpha,
+    *,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    block: Optional[int] = None,
+    weights=None,
+) -> psi.SufficientStats:
+    """Global SufficientStats with (y, mu, s, weights) sharded over ``axis``
+    and (z, sf2, alpha) replicated. Output is replicated on every device.
+
+    Differentiable: cotangents wrt the replicated params are psum-reduced by
+    shard_map's transpose, exactly mirroring the reference's summed partial
+    gradients (SURVEY.md §3.4).
+    """
+    has_s = s is not None
+    has_w = weights is not None
+
+    def local(y, mu, s_or_none, w_or_none, z, sf2, alpha):
+        st = psi.suff_stats(
+            y, mu, s_or_none, z, sf2, alpha, block=block, weights=w_or_none
+        )
+        return jax.tree.map(lambda t: jax.lax.psum(t, axis), st)
+
+    # Keep the arg list static per (has_s, has_w) combination so specs match.
+    sharded = P(axis)
+    rep = P()
+
+    def wrapped(y, mu, s_, w_, z, sf2, alpha):
+        return local(
+            y, mu, s_ if has_s else None, w_ if has_w else None, z, sf2, alpha
+        )
+
+    dummy_s = s if has_s else mu  # placeholder with a valid sharding
+    dummy_w = weights if has_w else y[:, 0]
+
+    fn = jax.shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=(sharded, sharded, sharded, sharded, rep, rep, rep),
+        out_specs=rep,
+    )
+    return fn(y, mu, dummy_s, dummy_w, z, sf2, alpha)

@@ -1,0 +1,58 @@
+"""Initialization helpers: PCA embedding init and inducing-point selection.
+
+Re-design of GParML's init path (``parallel_GPLVM.py`` --init PCA and
+``supporting_functions.py`` PCA [C-MED], SURVEY.md §3.5): the reference maps
+a per-partition (or two-pass global) PCA over partition files; here the
+covariance accumulation is a single (D, D) gram matrix — a plain sum over
+data points, so under a data-sharded ``jit`` XLA reduces it over ICI
+automatically (the distributed two-pass PCA falls out for free).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pca(y: jnp.ndarray, q: int) -> jnp.ndarray:
+    """Project Y (N, D) onto its top-q principal components, scaled to unit
+    variance per retained component (the conventional GPLVM latent init)."""
+    yc = y - jnp.mean(y, axis=0, keepdims=True)
+    # (D, D) gram — a sum over n, shardable; eigh of a small matrix.
+    cov = (yc.T @ yc) / y.shape[0]
+    evals, evecs = jnp.linalg.eigh(cov)
+    # eigh returns ascending order; take the top q.
+    top = evecs[:, -q:][:, ::-1]
+    top_vals = evals[-q:][::-1]
+    x = yc @ top
+    return x / jnp.sqrt(jnp.maximum(top_vals, 1e-12))
+
+
+def init_latents(key, y: jnp.ndarray, q: int, method: str = "pca", s0: float = 0.5):
+    """Initial (mu, s) for the GPLVM: PCA or random projections, s = s0.
+
+    Matches the reference's defaults: PCA means, constant ~0.5 variances
+    (SURVEY.md §3.5 [C-MED]).
+    """
+    if method == "pca":
+        mu = pca(y, q)
+    elif method == "random":
+        mu = jax.random.normal(key, (y.shape[0], q), dtype=y.dtype)
+    else:
+        raise ValueError(f"unknown init method {method!r}; options: pca, random")
+    s = jnp.full((y.shape[0], q), s0, dtype=y.dtype)
+    return mu, s
+
+
+def init_inducing(key, x: jnp.ndarray, m: int, noise: float = 1e-3) -> jnp.ndarray:
+    """M inducing inputs: random rows of X plus jitter (reference: "Z <- M rows
+    sampled from embeddings (+jitter)", SURVEY.md §3.1)."""
+    n = x.shape[0]
+    k1, k2 = jax.random.split(key)
+    if m <= n:
+        idx = jax.random.choice(k1, n, shape=(m,), replace=False)
+        z = x[idx]
+    else:
+        idx = jax.random.randint(k1, (m,), 0, n)
+        z = x[idx]
+    return z + noise * jax.random.normal(k2, z.shape, dtype=x.dtype)

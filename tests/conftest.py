@@ -2,18 +2,15 @@
 "the fake backend that makes distributed tests run anywhere") and enable x64
 so parity gates run at 1e-6 rtol against the float64 oracle."""
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
-
+# NOTE: this environment pre-sets jax_platforms='axon,cpu' (a remote TPU
+# tunnel) at a level that overrides the JAX_PLATFORMS env var; only
+# jax.config.update wins. Without this, every test op round-trips to the TPU.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
-# Per-op compiles are slow in this environment (~1-2s wall each); a persistent
-# cache makes test re-runs fast.
+# A persistent cache makes test re-runs fast.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

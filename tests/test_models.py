@@ -1,0 +1,88 @@
+"""End-to-end model tests: SGPR hyperparameter recovery (BASELINE config 1)
+and GPLVM latent-structure recovery with SCG (BASELINE config 2 shape,
+small sizes for CI speed). SURVEY.md §4 e2e plan."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gparml_tpu.models import gplvm, sgpr
+from gparml_tpu.models import params as P
+
+
+def test_sgpr_recovers_noise_and_fits():
+    rng = np.random.default_rng(3)
+    n, m = 200, 12
+    x = np.sort(rng.uniform(-3, 3, (n, 1)), axis=0)
+    true_beta = 25.0
+    y = np.sin(2.0 * x) + rng.standard_normal((n, 1)) / np.sqrt(true_beta)
+
+    cfg = sgpr.SGPRConfig(num_inducing=m)
+    g0 = sgpr.init_params(jax.random.key(0), jnp.asarray(x), jnp.asarray(y), cfg)
+    res = sgpr.fit(g0, jnp.asarray(x), jnp.asarray(y), cfg, iters=150)
+
+    hist = np.asarray(res.history)
+    hist = hist[np.isfinite(hist)]
+    assert hist[-1] > hist[0] + 10.0  # bound increased substantially
+    _, _, _, beta = P.constrain(res.params)
+    assert 10.0 < float(beta) < 60.0  # noise precision in the right ballpark
+
+    mean, var = sgpr.predict(res.params, jnp.asarray(x), jnp.asarray(y), jnp.asarray(x), cfg)
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - np.sin(2.0 * x)) ** 2)))
+    assert rmse < 0.1
+
+
+def test_sgpr_adam_also_improves():
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-2, 2, (100, 1))
+    y = np.cos(x) + 0.1 * rng.standard_normal((100, 1))
+    cfg = sgpr.SGPRConfig(num_inducing=8)
+    g0 = sgpr.init_params(jax.random.key(1), jnp.asarray(x), jnp.asarray(y), cfg)
+    res = sgpr.fit(g0, jnp.asarray(x), jnp.asarray(y), cfg, iters=200, optimizer="adam", learning_rate=5e-2)
+    hist = np.asarray(res.history)
+    assert hist[-1] > hist[0]
+
+
+def test_gplvm_scg_increases_bound_and_finds_structure():
+    """Oil-flow-style run (scaled down): low-dim latent data embedded in D dims;
+    the ARD precisions of unused latent dimensions should shrink."""
+    rng = np.random.default_rng(5)
+    n, d, q_true, q_model = 80, 6, 1, 3
+    t = rng.standard_normal((n, q_true))
+    w = rng.standard_normal((q_true, d))
+    y = np.tanh(t @ w) + 0.05 * rng.standard_normal((n, d))
+    y = (y - y.mean(0)) / y.std(0)
+
+    cfg = gplvm.GPLVMConfig(q=q_model, num_inducing=15)
+    p0 = gplvm.init_params(jax.random.key(2), jnp.asarray(y), cfg)
+    res = gplvm.fit(p0, jnp.asarray(y), cfg, iters=120)
+
+    hist = np.asarray(res.history)
+    hist = hist[np.isfinite(hist)]
+    assert hist[-1] > hist[0] + 10.0
+    assert np.all(np.diff(hist) >= -1e-9)  # SCG accepted-step monotonicity
+
+    # ARD: at least one latent dimension should carry much more signal
+    _, _, alpha, _ = P.constrain(res.params.glob)
+    alpha = np.sort(np.asarray(alpha))
+    assert alpha[-1] > 3.0 * alpha[0]
+
+
+def test_gplvm_fixed_embeddings_keeps_latents():
+    rng = np.random.default_rng(6)
+    y = rng.standard_normal((40, 4))
+    cfg = gplvm.GPLVMConfig(q=2, num_inducing=8, fixed_embeddings=True)
+    p0 = gplvm.init_params(jax.random.key(3), jnp.asarray(y), cfg)
+    res = gplvm.fit(p0, jnp.asarray(y), cfg, iters=30)
+    np.testing.assert_array_equal(res.params.lat.mu, p0.lat.mu)
+    np.testing.assert_array_equal(res.params.lat.u_s, p0.lat.u_s)
+
+
+def test_gplvm_fixed_beta():
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal((40, 4))
+    cfg = gplvm.GPLVMConfig(q=2, num_inducing=8, fixed_beta=True)
+    p0 = gplvm.init_params(jax.random.key(4), jnp.asarray(y), cfg)
+    res = gplvm.fit(p0, jnp.asarray(y), cfg, iters=30)
+    np.testing.assert_array_equal(res.params.glob.u_beta, p0.glob.u_beta)
+    assert not np.array_equal(res.params.glob.z, p0.glob.z)

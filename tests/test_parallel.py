@@ -1,0 +1,99 @@
+"""Partition invariance over mesh sizes {1, 2, 8} on the forced-8-device CPU
+backend (SURVEY.md §4 item 3): the distributed bound/gradients must equal the
+single-device ones to float tolerance because the map-reduce decomposition is
+an exact sum — the reference validated this by running 1 vs k worker
+processes; here it's 1 vs k mesh shards."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gparml_tpu.ops import bound, psi
+from gparml_tpu.parallel import mesh as mesh_lib
+from gparml_tpu.parallel import stats as pstats
+from tests.conftest import make_problem
+
+
+def _dist_bound(mesh, y, mu, s, z, sf2, alpha, beta, d, weights=None):
+    st = pstats.suff_stats_sharded(
+        y, mu, s, z, sf2, alpha, mesh=mesh, weights=weights
+    )
+    return bound.bound_from_stats(st, z, sf2, alpha, beta, d=d)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_stats_invariant_across_mesh_sizes(rng):
+    y, mu, s, z, sf2, alpha, beta = make_problem(rng, n=32, d=3, q=2, m=5)
+    args = [jnp.asarray(a) for a in (y, mu, s, z)]
+    alpha_j = jnp.asarray(alpha)
+
+    ref = psi.suff_stats(args[0], args[1], args[2], args[3], sf2, alpha_j)
+    for k in (1, 2, 8):
+        m = mesh_lib.make_mesh(k)
+        ys, mus, ss, w = mesh_lib.shard_data(m, y, mu, s)
+        st = pstats.suff_stats_sharded(
+            ys, mus, ss, args[3], sf2, alpha_j, mesh=m, weights=w
+        )
+        for a, b in zip(ref, st):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
+
+
+def test_bound_and_grads_invariant_across_mesh_sizes(rng):
+    y, mu, s, z, sf2, alpha, beta = make_problem(rng, n=32, d=3, q=2, m=5)
+    zj, alphaj = jnp.asarray(z), jnp.asarray(alpha)
+
+    def ref_obj(zj, mu_, s_):
+        st = psi.suff_stats(jnp.asarray(y), mu_, s_, zj, sf2, alphaj)
+        return bound.bound_from_stats(st, zj, sf2, alphaj, beta, d=y.shape[1])
+
+    f_ref, g_ref = jax.value_and_grad(ref_obj, argnums=(0, 1, 2))(
+        zj, jnp.asarray(mu), jnp.asarray(s)
+    )
+
+    for k in (2, 8):
+        m = mesh_lib.make_mesh(k)
+        ys, mus, ss, w = mesh_lib.shard_data(m, y, mu, s)
+
+        def dist_obj(zj, mu_, s_):
+            return _dist_bound(m, ys, mu_, s_, zj, sf2, alphaj, beta, y.shape[1], w)
+
+        f, g = jax.jit(jax.value_and_grad(dist_obj, argnums=(0, 1, 2)))(zj, mus, ss)
+        np.testing.assert_allclose(float(f), float(f_ref), rtol=1e-12)
+        # grad wrt replicated Z (psum of per-shard partials) and sharded mu, s
+        np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g_ref[0]), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(g[1]), np.asarray(g_ref[1]), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(g[2]), np.asarray(g_ref[2]), rtol=1e-10)
+
+
+def test_uneven_n_padding_is_exact(rng):
+    """N=29 over 8 shards: ones-padding + 0/1 weights keeps stats exact."""
+    y, mu, s, z, sf2, alpha, beta = make_problem(rng, n=29, d=3, q=2, m=5)
+    ref = psi.suff_stats(
+        jnp.asarray(y), jnp.asarray(mu), jnp.asarray(s), jnp.asarray(z), sf2, jnp.asarray(alpha)
+    )
+    m = mesh_lib.make_mesh(8)
+    ys, mus, ss, w = mesh_lib.shard_data(m, y, mu, s)
+    assert ys.shape[0] == 32
+    st = pstats.suff_stats_sharded(
+        ys, mus, ss, jnp.asarray(z), sf2, jnp.asarray(alpha), mesh=m, weights=w
+    )
+    for a, b in zip(ref, st):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
+    assert float(st.n) == 29.0
+
+
+def test_sgpr_mode_sharded(rng):
+    y, x, _, z, sf2, alpha, beta = make_problem(rng, n=24, d=3, q=2, m=5, latent=False)
+    ref = psi.suff_stats(
+        jnp.asarray(y), jnp.asarray(x), None, jnp.asarray(z), sf2, jnp.asarray(alpha)
+    )
+    m = mesh_lib.make_mesh(8)
+    ys, xs, w = mesh_lib.shard_data(m, y, x)
+    st = pstats.suff_stats_sharded(
+        ys, xs, None, jnp.asarray(z), sf2, jnp.asarray(alpha), mesh=m, weights=w
+    )
+    for a, b in zip(ref, st):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)

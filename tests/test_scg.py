@@ -1,0 +1,64 @@
+"""SCG optimizer unit tests: quadratic/Rosenbrock convergence, monotone
+accepted-step history, pytree parameters (SURVEY.md §4 item 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gparml_tpu.opt import scg
+
+
+def test_quadratic_exact_convergence():
+    """On a convex quadratic, CG-type methods converge in ~dim steps."""
+    a = jnp.asarray(np.diag([1.0, 4.0, 9.0, 0.5]))
+    b = jnp.asarray(np.array([1.0, -2.0, 3.0, 0.2]))
+
+    def vg(x):
+        f = 0.5 * x @ a @ x - b @ x
+        return f, a @ x - b
+
+    x0 = jnp.zeros(4)
+    st = jax.jit(lambda x: scg.minimize(vg, x, scg.SCGOptions(max_iters=50)))(x0)
+    x_star = np.linalg.solve(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(st.x, x_star, atol=1e-4)
+    assert bool(st.done) and int(st.iteration) < 30
+
+
+def test_rosenbrock():
+    def rosen(x):
+        return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1.0 - x[:-1]) ** 2)
+
+    vg = jax.value_and_grad(rosen)
+    x0 = jnp.asarray(np.array([-1.2, 1.0]))
+    st = jax.jit(lambda x: scg.minimize(vg, x, scg.SCGOptions(max_iters=400)))(x0)
+    np.testing.assert_allclose(st.x, np.ones(2), atol=1e-4)
+
+
+def test_pytree_params_and_monotone_history():
+    """Params as a nested pytree; accepted objective values never increase."""
+    def vg(p):
+        f = jnp.sum((p["w"] - 3.0) ** 2) + jnp.sum((p["b"]["c"] + 1.0) ** 4)
+        return f, jax.grad(lambda q: jnp.sum((q["w"] - 3.0) ** 2) + jnp.sum((q["b"]["c"] + 1.0) ** 4))(p)
+
+    p0 = {"w": jnp.zeros((3, 2)), "b": {"c": jnp.ones(5)}}
+    st = jax.jit(lambda p: scg.minimize(vg, p, scg.SCGOptions(max_iters=100)))(p0)
+    np.testing.assert_allclose(st.x["w"], 3.0, atol=1e-5)
+    np.testing.assert_allclose(st.x["b"]["c"], -1.0, atol=1e-2)
+    hist = np.asarray(st.history)
+    hist = hist[np.isfinite(hist)]
+    # f_now history is non-increasing (rejected steps keep the old value)
+    assert np.all(np.diff(hist) <= 1e-12)
+
+
+def test_early_convergence_stops_evals():
+    """Once converged, the loop exits (history stays nan afterwards)."""
+    def vg(x):
+        f = jnp.sum(x**2)
+        return f, 2.0 * x
+
+    st = jax.jit(lambda x: scg.minimize(vg, x, scg.SCGOptions(max_iters=500)))(
+        jnp.ones(3)
+    )
+    hist = np.asarray(st.history)
+    assert np.isnan(hist[-1])  # converged long before 500 iterations
+    assert float(st.f_now) < 1e-12
