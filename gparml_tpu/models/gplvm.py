@@ -18,6 +18,7 @@ from gparml_tpu.models import params as P
 from gparml_tpu.ops import bound as bound_ops
 from gparml_tpu.ops import psi
 from gparml_tpu.opt import optax_adapter, scg
+from gparml_tpu.parallel.stats import suff_stats_auto
 from gparml_tpu.utils import init as init_utils
 
 
@@ -66,23 +67,33 @@ def init_params(
     return P.GPLVMParams(glob=glob, lat=lat)
 
 
-def suff_stats(p: P.GPLVMParams, y, config: GPLVMConfig) -> psi.SufficientStats:
+def suff_stats(
+    p: P.GPLVMParams, y, config: GPLVMConfig, mesh=None, weights=None
+) -> psi.SufficientStats:
     z, sf2, alpha, _ = P.constrain(p.glob, config.bijector)
     mu, s = P.constrain_latents(p.lat, config.bijector)
-    return psi.suff_stats(y, mu, s, z, sf2, alpha, block=config.block)
+    return suff_stats_auto(
+        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
+    )
 
 
-def log_bound(p: P.GPLVMParams, y, config: GPLVMConfig) -> jnp.ndarray:
+def log_bound(p: P.GPLVMParams, y, config: GPLVMConfig, mesh=None, weights=None) -> jnp.ndarray:
+    """Evidence lower bound. With ``mesh``, y/weights and the latent leaves
+    of ``p`` are sharded over the data axis (the reference's partitions)."""
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
     mu, s = P.constrain_latents(p.lat, config.bijector)
-    stats = psi.suff_stats(y, mu, s, z, sf2, alpha, block=config.block)
+    stats = suff_stats_auto(
+        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
+    )
     return bound_ops.bound_from_stats(
         stats, z, sf2, alpha, beta, d=y.shape[1], jitter=config.jitter
     )
 
 
-def neg_bound_value_and_grad(p, y, config: GPLVMConfig, mask=None):
-    f, grad = jax.value_and_grad(lambda pp: -log_bound(pp, y, config))(p)
+def neg_bound_value_and_grad(p, y, config: GPLVMConfig, mask=None, mesh=None, weights=None):
+    f, grad = jax.value_and_grad(
+        lambda pp: -log_bound(pp, y, config, mesh=mesh, weights=weights)
+    )(p)
     if mask is not None:
         grad = P.apply_mask(grad, mask)
     return f, grad
@@ -96,6 +107,8 @@ def fit(
     optimizer: str = "scg",
     learning_rate: float = 1e-2,
     scg_options: Optional[scg.SCGOptions] = None,
+    mesh=None,
+    weights=None,
 ) -> FitResult:
     mask = P.grad_mask(
         p0,
@@ -106,7 +119,7 @@ def fit(
     )
 
     def vg(p):
-        return neg_bound_value_and_grad(p, y, config, mask)
+        return neg_bound_value_and_grad(p, y, config, mask, mesh=mesh, weights=weights)
 
     if optimizer == "scg":
         opts = scg_options or scg.SCGOptions(max_iters=iters)
@@ -122,11 +135,13 @@ def fit(
     raise ValueError(f"unknown optimizer {optimizer!r}; options: scg, adam, gd")
 
 
-def predict_observed(p: P.GPLVMParams, y, x_star, config: GPLVMConfig):
+def predict_observed(p: P.GPLVMParams, y, x_star, config: GPLVMConfig, mesh=None, weights=None):
     """Predictive p(y* | x*) at given latent locations x_star."""
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
     mu, s = P.constrain_latents(p.lat, config.bijector)
-    stats = psi.suff_stats(y, mu, s, z, sf2, alpha, block=config.block)
+    stats = suff_stats_auto(
+        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
+    )
     return bound_ops.predict(x_star, stats, z, sf2, alpha, beta, jitter=config.jitter)
 
 

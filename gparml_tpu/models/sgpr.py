@@ -16,6 +16,7 @@ from gparml_tpu.models import params as P
 from gparml_tpu.ops import bound as bound_ops
 from gparml_tpu.ops import psi
 from gparml_tpu.opt import optax_adapter, scg
+from gparml_tpu.parallel.stats import suff_stats_auto
 from gparml_tpu.utils import init as init_utils
 
 
@@ -59,24 +60,37 @@ def init_params(
     return P.make_global(z, sf2, alpha, beta, bijector=config.bijector)
 
 
-def suff_stats(g: P.GlobalParams, x, y, config: SGPRConfig) -> psi.SufficientStats:
+def suff_stats(
+    g: P.GlobalParams, x, y, config: SGPRConfig, mesh=None, weights=None
+) -> psi.SufficientStats:
     z, sf2, alpha, _ = P.constrain(g, config.bijector)
-    return psi.suff_stats(y, x, None, z, sf2, alpha, block=config.block)
+    return suff_stats_auto(
+        y, x, None, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
+    )
 
 
-def log_bound(g: P.GlobalParams, x, y, config: SGPRConfig) -> jnp.ndarray:
-    """Evidence lower bound F (to maximize)."""
+def log_bound(
+    g: P.GlobalParams, x, y, config: SGPRConfig, mesh=None, weights=None
+) -> jnp.ndarray:
+    """Evidence lower bound F (to maximize). With ``mesh``, (x, y, weights)
+    are sharded over the data axis and the statistics psum over ICI."""
     z, sf2, alpha, beta = P.constrain(g, config.bijector)
-    stats = psi.suff_stats(y, x, None, z, sf2, alpha, block=config.block)
+    stats = suff_stats_auto(
+        y, x, None, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
+    )
     return bound_ops.bound_from_stats(
         stats, z, sf2, alpha, beta, d=y.shape[1], jitter=config.jitter
     )
 
 
-def neg_bound_value_and_grad(g, x, y, config: SGPRConfig, mask=None):
+def neg_bound_value_and_grad(
+    g, x, y, config: SGPRConfig, mask=None, mesh=None, weights=None
+):
     """(-F, masked grad) — the SCG objective. One fused pass replaces the
     reference's likelihood_and_gradient MapReduce round (SURVEY.md §3.1)."""
-    f, grad = jax.value_and_grad(lambda gg: -log_bound(gg, x, y, config))(g)
+    f, grad = jax.value_and_grad(
+        lambda gg: -log_bound(gg, x, y, config, mesh=mesh, weights=weights)
+    )(g)
     if mask is not None:
         grad = P.apply_mask(grad, mask)
     return f, grad
@@ -91,6 +105,8 @@ def fit(
     optimizer: str = "scg",
     learning_rate: float = 1e-2,
     scg_options: Optional[scg.SCGOptions] = None,
+    mesh=None,
+    weights=None,
 ) -> FitResult:
     """Maximize the bound with SCG (default, matching the reference) or an
     optax rule. The whole optimization is one jit'd computation."""
@@ -100,7 +116,7 @@ def fit(
     )
 
     def vg(g):
-        return neg_bound_value_and_grad(g, x, y, config, mask)
+        return neg_bound_value_and_grad(g, x, y, config, mask, mesh=mesh, weights=weights)
 
     if optimizer == "scg":
         opts = scg_options or scg.SCGOptions(max_iters=iters)
@@ -116,8 +132,10 @@ def fit(
     raise ValueError(f"unknown optimizer {optimizer!r}; options: scg, adam, gd")
 
 
-def predict(g: P.GlobalParams, x, y, x_star, config: SGPRConfig):
+def predict(g: P.GlobalParams, x, y, x_star, config: SGPRConfig, mesh=None, weights=None):
     """Predictive mean and variance (incl. noise) at x_star."""
     z, sf2, alpha, beta = P.constrain(g, config.bijector)
-    stats = psi.suff_stats(y, x, None, z, sf2, alpha, block=config.block)
+    stats = suff_stats_auto(
+        y, x, None, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
+    )
     return bound_ops.predict(x_star, stats, z, sf2, alpha, beta, jitter=config.jitter)

@@ -83,6 +83,11 @@ def minimize(
     nparams = sum(l.size for l in jax.tree.leaves(x0))
 
     f0, g0 = value_and_grad_fn(x0)
+    # Clamp lambda bounds into the objective dtype's finite range (f32 on TPU).
+    fi = jnp.finfo(f0.dtype)
+    lam_max = min(options.lam_max, float(fi.max) / 8.0)
+    lam_min = max(options.lam_min, float(fi.tiny) * 8.0)
+    options = options._replace(lam_max=lam_max, lam_min=lam_min)
     d0 = tree_neg(g0)
     history0 = jnp.full((options.max_iters,), jnp.nan, dtype=f0.dtype)
 

@@ -77,3 +77,20 @@ def suff_stats_sharded(
         out_specs=rep,
     )
     return fn(y, mu, dummy_s, dummy_w, z, sf2, alpha)
+
+
+def suff_stats_auto(
+    y, mu, s, z, sf2, alpha,
+    *, mesh: Optional[Mesh] = None, axis: str = DATA_AXIS,
+    block: Optional[int] = None, weights=None,
+) -> psi.SufficientStats:
+    """Single-device or distributed sufficient statistics, one entry point.
+
+    ``mesh=None`` is the reference's single-worker path; a mesh switches to
+    shard_map+psum (its ``-p local`` vs cluster backends collapse to this one
+    flag, SURVEY.md §2 "Remote/cluster MapReduce backend")."""
+    if mesh is None:
+        return psi.suff_stats(y, mu, s, z, sf2, alpha, block=block, weights=weights)
+    return suff_stats_sharded(
+        y, mu, s, z, sf2, alpha, mesh=mesh, axis=axis, block=block, weights=weights
+    )
