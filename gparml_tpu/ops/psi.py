@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from gparml_tpu.ops import ard_rbf
+from gparml_tpu.ops.precise import dot_nt
 
 
 class SufficientStats(NamedTuple):
@@ -66,8 +67,8 @@ def psi1(mu: jnp.ndarray, s: jnp.ndarray, z: jnp.ndarray, sf2, alpha) -> jnp.nda
     # -1/2 sum_q c_nq (mu_nq - z_mq)^2
     #   = -1/2 [ sum_q c mu^2 - 2 sum_q c mu z + sum_q c z^2 ]
     cm2 = jnp.sum(c * mu * mu, axis=-1)               # (N,)
-    cmz = (c * mu) @ z.T                              # (N, M)
-    cz2 = c @ (z * z).T                               # (N, M)
+    cmz = dot_nt(c * mu, z)                           # (N, M)
+    cz2 = dot_nt(c, z * z)                            # (N, M)
     quad = -0.5 * (cm2[:, None] - 2.0 * cmz + cz2)
     return sf2 * jnp.exp(log_norm[:, None] + quad)
 
@@ -87,7 +88,8 @@ def psi2_sum(
     """
     log_e0, const_n, v, c = _psi2_pieces(mu, s, z, sf2, alpha)
     # B_n[m,m'] = sum_q c_nq z_mq z_m'q : batched matmul (N,M,M)
-    b = jnp.einsum("nq,mq,pq->nmp", c, z, z)
+    n, m = c.shape[0], z.shape[0]
+    b = dot_nt((c[:, None, :] * z[None, :, :]).reshape(n * m, -1), z).reshape(n, m, m)
     log_psi2 = (
         const_n[:, None, None]
         + v[:, :, None]
@@ -127,7 +129,7 @@ def _psi2_pieces(mu, s, z, sf2, alpha):
         - 0.5 * jnp.sum(jnp.log(den), axis=-1)
         - jnp.sum(c * mu * mu, axis=-1)
     )                                                 # (N,)
-    v = -0.25 * (c @ (z * z).T) + (c * mu) @ z.T      # (N, M)
+    v = -0.25 * dot_nt(c, z * z) + dot_nt(c * mu, z)  # (N, M)
     return log_e0, const_n, v, c
 
 
@@ -181,16 +183,16 @@ def suff_stats(
 
     if s is None:
         knm = ard_rbf.k(mu, z, sf2, alpha)
-        p1y = knm.T @ yw
+        p1y = jnp.matmul(knm.T, yw, precision='highest')
         knm_w = knm if weights is None else knm * jnp.sqrt(weights)[:, None]
-        p2 = knm_w.T @ knm_w
+        p2 = jnp.matmul(knm_w.T, knm_w, precision='highest')
         kl = jnp.zeros((), dtype=y.dtype)
         return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
 
     kl = kl_qp(mu, s, weights)
     if block is None or block >= n:
         p1 = psi1(mu, s, z, sf2, alpha)
-        p1y = p1.T @ yw
+        p1y = jnp.matmul(p1.T, yw, precision='highest')
         p2 = psi2_sum(mu, s, z, sf2, alpha, weights)
         return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
 
@@ -208,7 +210,7 @@ def suff_stats(
         yb, mub, sb, wb = xs
         p1b = psi1(mub, sb, z, sf2, alpha)
         p2b = psi2_sum(mub, sb, z, sf2, alpha, wb)
-        return (p1y_acc + p1b.T @ (yb * wb[:, None]), p2_acc + p2b), None
+        return (p1y_acc + jnp.matmul(p1b.T, yb * wb[:, None], precision='highest'), p2_acc + p2b), None
 
     xs = (
         y.reshape(nb, block, d),

@@ -1,0 +1,106 @@
+"""Fused Pallas psi-kernel parity vs the pure-JAX oracle implementation
+(psi.py), forward and backward, in interpreter mode on CPU (SURVEY.md §4:
+"Pallas kernels vs pure-JAX reference implementations"). float32 — the
+kernel's production dtype."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gparml_tpu.ops import psi, psi_pallas
+from tests.conftest import make_problem
+
+F = jnp.float32
+
+
+def _inputs(rng, n=24, d=3, q=2, m=5):
+    y, mu, s, z, sf2, alpha, beta = make_problem(rng, n=n, d=d, q=q, m=m)
+    return (
+        jnp.asarray(y, F), jnp.asarray(mu, F), jnp.asarray(s, F),
+        jnp.asarray(z, F), jnp.float32(sf2), jnp.asarray(alpha, F),
+    )
+
+
+def test_forward_parity(rng):
+    y, mu, s, z, sf2, alpha = _inputs(rng)
+    st_ref = psi.suff_stats(y, mu, s, z, sf2, alpha)
+    st = psi_pallas.suff_stats(y, mu, s, z, sf2, alpha, tile=8, interpret=True)
+    np.testing.assert_allclose(st.psi1_y, st_ref.psi1_y, rtol=8e-5)
+    np.testing.assert_allclose(st.psi2, st_ref.psi2, rtol=8e-5, atol=1e-6)
+    np.testing.assert_allclose(st.psi0, st_ref.psi0, rtol=1e-6)
+    np.testing.assert_allclose(st.kl, st_ref.kl, rtol=1e-6)
+
+
+def test_forward_parity_weighted(rng):
+    y, mu, s, z, sf2, alpha = _inputs(rng, n=24)
+    w = jnp.asarray(np.r_[np.ones(17), np.zeros(7)], F)
+    st_ref = psi.suff_stats(y, mu, s, z, sf2, alpha, weights=w)
+    st = psi_pallas.suff_stats(
+        y, mu, s, z, sf2, alpha, weights=w, tile=8, interpret=True
+    )
+    np.testing.assert_allclose(st.psi1_y, st_ref.psi1_y, rtol=8e-5)
+    np.testing.assert_allclose(st.psi2, st_ref.psi2, rtol=8e-5, atol=1e-6)
+    assert float(st.n) == 17.0
+
+
+def test_forward_parity_n_not_multiple_of_tile(rng):
+    y, mu, s, z, sf2, alpha = _inputs(rng, n=21)
+    st_ref = psi.suff_stats(y, mu, s, z, sf2, alpha)
+    st = psi_pallas.suff_stats(y, mu, s, z, sf2, alpha, tile=8, interpret=True)
+    np.testing.assert_allclose(st.psi1_y, st_ref.psi1_y, rtol=8e-5)
+    np.testing.assert_allclose(st.psi2, st_ref.psi2, rtol=8e-5, atol=1e-6)
+
+
+def test_backward_parity(rng):
+    """Gradients of a scalarized objective through the Pallas custom VJP match
+    jax.grad of the pure-JAX path (the autodiff oracle)."""
+    y, mu, s, z, sf2, alpha = _inputs(rng, n=16, d=2, q=2, m=4)
+    pr = np.random.default_rng(1)
+    wy = jnp.asarray(pr.standard_normal((4, 2)), F)   # (M, D) probe
+    wp = jnp.asarray(pr.standard_normal((4, 4)), F)   # (M, M) probe
+
+    def obj_ref(mu, s, z, sf2, alpha, y):
+        st = psi.suff_stats(y, mu, s, z, sf2, alpha)
+        return jnp.sum(st.psi1_y * wy) + jnp.sum(st.psi2 * wp)
+
+    def obj_pal(mu, s, z, sf2, alpha, y):
+        w = jnp.ones((y.shape[0],), F)
+        p1y, p2 = psi_pallas.psi_fused(mu, s, z, sf2, alpha, y, w, 8, True)
+        return jnp.sum(p1y * wy) + jnp.sum(p2 * wp)
+
+    args = (mu, s, z, sf2, alpha, y)
+    g_ref = jax.grad(obj_ref, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_pal = jax.grad(obj_pal, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    names = ["mu", "s", "z", "sf2", "alpha", "y"]
+    for name, a, b in zip(names, g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5, err_msg=name
+        )
+
+
+def test_bound_through_pallas_matches(rng):
+    """Full GPLVM bound + grads via the Pallas stats vs the pure-JAX stats."""
+    from gparml_tpu.ops import bound
+
+    y, mu, s, z, sf2, alpha = _inputs(rng, n=16, d=3, q=2, m=5)
+    beta = jnp.float32(2.0)
+
+    def f_ref(mu, s, z):
+        st = psi.suff_stats(y, mu, s, z, sf2, alpha)
+        return bound.bound_from_stats(st, z, sf2, alpha, beta, d=y.shape[1])
+
+    def f_pal(mu, s, z):
+        st = psi_pallas.suff_stats(y, mu, s, z, sf2, alpha, tile=8, interpret=True)
+        return bound.bound_from_stats(st, z, sf2, alpha, beta, d=y.shape[1])
+
+    fr, gr = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(mu, s, z)
+    fp, gp = jax.value_and_grad(f_pal, argnums=(0, 1, 2))(mu, s, z)
+    np.testing.assert_allclose(float(fp), float(fr), rtol=1e-5)
+    for a, b in zip(gp, gr):
+        # Norm-scaled: both f32 paths wobble ~1e-3 of the gradient norm around
+        # the f64 truth (verified: the Pallas path is as close to f64 as the
+        # XLA path); elementwise rtol on mixed-magnitude entries is too harsh.
+        b = np.asarray(b)
+        np.testing.assert_allclose(
+            np.asarray(a), b, atol=3e-3 * np.abs(b).max(), rtol=1e-3
+        )
