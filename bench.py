@@ -2,10 +2,12 @@
 config (N=1e6, Q=10, M=200, D=12 — BASELINE.json config 4, sized for the
 devices present). Prints ONE JSON line.
 
-Baseline semantics: BASELINE.json's north star is one full bound+grad
-evaluation in < 1 s on a v5p-8, i.e. 1.0 eval/s; ``vs_baseline`` is measured
-evals/sec against that 1.0. (The reference itself publishes no numbers —
-BASELINE.md; on CPU its equivalent pass took minutes at this scale.)
+Measures both psi-statistics engines (XLA blocked scan and the fused Pallas
+kernel) and reports the faster. Baseline semantics: BASELINE.json's north
+star is one full bound+grad evaluation in < 1 s on a v5p-8, i.e. 1.0 eval/s;
+``vs_baseline`` is measured evals/sec against that 1.0. (The reference
+itself publishes no numbers — BASELINE.md; on CPU its equivalent pass took
+minutes at this scale.)
 """
 
 from __future__ import annotations
@@ -27,14 +29,11 @@ def main():
     from gparml_tpu.parallel import mesh as mesh_lib
 
     n, d, q, m = 1_000_000, 12, 10, 200
-    block = 4000
     dtype = jnp.float32
 
     rng = np.random.default_rng(0)
     devs = jax.devices()
-    cfg = gplvm.GPLVMConfig(q=q, num_inducing=m, block=block)
 
-    # Build params directly (PCA init not needed to measure the hot path).
     y = jnp.asarray(rng.standard_normal((n, d)), dtype=dtype)
     mu = jnp.asarray(rng.standard_normal((n, q)), dtype=dtype)
     s = jnp.full((n, q), 0.5, dtype=dtype)
@@ -46,49 +45,57 @@ def main():
     weights = None
     if len(devs) > 1:
         mesh = mesh_lib.make_mesh(len(devs))
-        y_s, mu_s, us_s, weights = mesh_lib.shard_data(
+        y, mu_s, us_s, weights = mesh_lib.shard_data(
             mesh, np.asarray(y), np.asarray(mu), np.log(np.asarray(s))
         )
-        y = y_s
         params = P.GPLVMParams(glob=glob, lat=P.LatentParams(mu=mu_s, u_s=us_s))
     else:
-        params = P.GPLVMParams(
-            glob=glob, lat=P.make_latents(mu, s)
+        params = P.GPLVMParams(glob=glob, lat=P.make_latents(mu, s))
+
+    def measure(impl: str) -> float:
+        cfg = gplvm.GPLVMConfig(
+            q=q, num_inducing=m, block=4000, stats_impl=impl, pallas_tile=16
         )
 
-    @jax.jit
-    def eval_once(p, y):
-        return gplvm.neg_bound_value_and_grad(p, y, cfg, mesh=mesh, weights=weights)
+        @jax.jit
+        def eval_once(p, y):
+            return gplvm.neg_bound_value_and_grad(p, y, cfg, mesh=mesh, weights=weights)
 
-    def perturbed(i):
-        # The remote-TPU tunnel deduplicates identical dispatches; give every
-        # rep distinct input values so each one really executes.
-        # (1e-3 steps: sub-ulp perturbations round away in f32 and the call
-        # dedupes against the previous one)
-        g = params.glob._replace(u_beta=params.glob.u_beta + np.float32(i * 1e-3))
-        return params._replace(glob=g)
+        def perturbed(i):
+            # (>1 f32 ulp: the remote-TPU tunnel dedupes a dispatch identical
+            # to the immediately preceding one)
+            g = params.glob._replace(u_beta=params.glob.u_beta + np.float32(i * 1e-3))
+            return params._replace(glob=g)
 
-    # compile + warmup (host read = real synchronization, see below)
-    out = eval_once(params, y)
-    float(out[0])
+        out = eval_once(params, y)
+        float(out[0])  # host read = the only reliable sync under the tunnel
+        times = []
+        for i in range(4):
+            p_i = perturbed(i + 1)
+            t0 = time.perf_counter()
+            out = eval_once(p_i, y)
+            float(out[0])
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
-    reps = 5
-    times = []
-    for i in range(reps):
-        p_i = perturbed(i + 1)
-        t0 = time.perf_counter()
-        out = eval_once(p_i, y)
-        # NOTE: under the remote-TPU tunnel, block_until_ready returns without
-        # waiting; a host read of the result is the only reliable sync.
-        float(out[0])
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    results = {}
+    for impl in ("xla", "pallas"):
+        try:
+            results[impl] = measure(impl)
+        except Exception:
+            pass
 
+    impl_best = min(results, key=results.get)
+    dt = results[impl_best]
     evals_per_sec = 1.0 / dt
+    detail = ", ".join(f"{k}={v:.3f}s" for k, v in sorted(results.items()))
     print(
         json.dumps(
             {
-                "metric": f"GPLVM bound+grad evals/sec (N=1e6, Q=10, M=200, D=12, {len(devs)}x {devs[0].device_kind})",
+                "metric": (
+                    f"GPLVM bound+grad evals/sec (N=1e6, Q=10, M=200, D=12, "
+                    f"{len(devs)}x {devs[0].device_kind}; best engine={impl_best}; {detail})"
+                ),
                 "value": round(evals_per_sec, 4),
                 "unit": "evals/sec",
                 "vs_baseline": round(evals_per_sec / 1.0, 4),

@@ -29,6 +29,8 @@ class GPLVMConfig:
     bijector: str = "exp"
     jitter: float = 1e-6
     block: Optional[int] = None
+    stats_impl: str = "xla"          # psi engine: 'xla' | 'pallas' (fused kernel)
+    pallas_tile: int = 16
     init: str = "pca"                # reference --init {PCA, random}
     s0: float = 0.5                  # initial variational variance
     fixed_embeddings: bool = False   # reference --fixed_embeddings
@@ -73,7 +75,8 @@ def suff_stats(
     z, sf2, alpha, _ = P.constrain(p.glob, config.bijector)
     mu, s = P.constrain_latents(p.lat, config.bijector)
     return suff_stats_auto(
-        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
+        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights,
+        impl=config.stats_impl, tile=config.pallas_tile,
     )
 
 
@@ -83,7 +86,8 @@ def log_bound(p: P.GPLVMParams, y, config: GPLVMConfig, mesh=None, weights=None)
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
     mu, s = P.constrain_latents(p.lat, config.bijector)
     stats = suff_stats_auto(
-        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
+        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights,
+        impl=config.stats_impl, tile=config.pallas_tile,
     )
     return bound_ops.bound_from_stats(
         stats, z, sf2, alpha, beta, d=y.shape[1], jitter=config.jitter
@@ -140,7 +144,8 @@ def predict_observed(p: P.GPLVMParams, y, x_star, config: GPLVMConfig, mesh=None
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
     mu, s = P.constrain_latents(p.lat, config.bijector)
     stats = suff_stats_auto(
-        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
+        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights,
+        impl=config.stats_impl, tile=config.pallas_tile,
     )
     return bound_ops.predict(x_star, stats, z, sf2, alpha, beta, jitter=config.jitter)
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from gparml_tpu.ops.precise import dot_nt
-
 
 def sq_dist(x1: jnp.ndarray, x2: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     """alpha-weighted squared distance matrix.
@@ -38,7 +36,7 @@ def sq_dist(x1: jnp.ndarray, x2: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray
     b = x2 * ra
     a2 = jnp.sum(a * a, axis=-1)
     b2 = jnp.sum(b * b, axis=-1)
-    ab = dot_nt(a, b)
+    ab = jnp.matmul(a, b.T, precision='highest')
     d2 = a2[:, None] + b2[None, :] - 2.0 * ab
     return jnp.maximum(d2, 0.0)
 

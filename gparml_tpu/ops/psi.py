@@ -36,7 +36,6 @@ import jax
 import jax.numpy as jnp
 
 from gparml_tpu.ops import ard_rbf
-from gparml_tpu.ops.precise import dot_nt
 
 
 class SufficientStats(NamedTuple):
@@ -67,8 +66,8 @@ def psi1(mu: jnp.ndarray, s: jnp.ndarray, z: jnp.ndarray, sf2, alpha) -> jnp.nda
     # -1/2 sum_q c_nq (mu_nq - z_mq)^2
     #   = -1/2 [ sum_q c mu^2 - 2 sum_q c mu z + sum_q c z^2 ]
     cm2 = jnp.sum(c * mu * mu, axis=-1)               # (N,)
-    cmz = dot_nt(c * mu, z)                           # (N, M)
-    cz2 = dot_nt(c, z * z)                            # (N, M)
+    cmz = jnp.matmul(c * mu, z.T, precision='highest')  # (N, M)
+    cz2 = jnp.matmul(c, (z * z).T, precision='highest') # (N, M)
     quad = -0.5 * (cm2[:, None] - 2.0 * cmz + cz2)
     return sf2 * jnp.exp(log_norm[:, None] + quad)
 
@@ -87,9 +86,11 @@ def psi2_sum(
       v_n[m]    = -1/4 sum_q c_nq z_mq^2 + 1/2 sum_q c_nq mu_nq z_mq ... see below
     """
     log_e0, const_n, v, c = _psi2_pieces(mu, s, z, sf2, alpha)
-    # B_n[m,m'] = sum_q c_nq z_mq z_m'q : batched matmul (N,M,M)
-    n, m = c.shape[0], z.shape[0]
-    b = dot_nt((c[:, None, :] * z[None, :, :]).reshape(n * m, -1), z).reshape(n, m, m)
+    # B_n[m,m'] = sum_q c_nq z_mq z_m'q : batched matmul (N,M,M). NOTE: plain
+    # einsum at HIGHEST, not the compensated split — in HBM-streamed XLA land
+    # the split's materialized operands cost far more than the extra MXU
+    # passes (the split only pays inside the VMEM-resident Pallas kernel).
+    b = jnp.einsum("nq,mq,pq->nmp", c, z, z, precision="highest")
     log_psi2 = (
         const_n[:, None, None]
         + v[:, :, None]
@@ -129,7 +130,7 @@ def _psi2_pieces(mu, s, z, sf2, alpha):
         - 0.5 * jnp.sum(jnp.log(den), axis=-1)
         - jnp.sum(c * mu * mu, axis=-1)
     )                                                 # (N,)
-    v = -0.25 * dot_nt(c, z * z) + dot_nt(c * mu, z)  # (N, M)
+    v = -0.25 * jnp.matmul(c, (z * z).T, precision='highest') + jnp.matmul(c * mu, z.T, precision='highest')  # (N, M)
     return log_e0, const_n, v, c
 
 

@@ -326,7 +326,7 @@ psi_fused.defvjp(_psi_fused_fwd, _psi_fused_bwd)
 
 def suff_stats(
     y, mu, s, z, sf2, alpha,
-    weights=None, tile: int = 16, interpret: bool = False,
+    weights=None, tile: int = 16, interpret: bool = None,
 ) -> SufficientStats:
     """Drop-in replacement for psi.suff_stats (GPLVM path) using the fused
     Pallas kernel for the two heavy statistics; psi0/yy/KL are cheap
@@ -335,6 +335,9 @@ def suff_stats(
         raise ValueError(
             "SGPR (s=None) statistics are plain MXU matmuls; use psi.suff_stats"
         )
+    if interpret is None:
+        # Mosaic kernels only compile for TPU; interpret elsewhere (CPU tests).
+        interpret = jax.default_backend() != "tpu"
     n = y.shape[0]
     w = jnp.ones((n,), y.dtype) if weights is None else weights
     n_f = jnp.sum(w)

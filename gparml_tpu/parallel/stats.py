@@ -26,7 +26,14 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gparml_tpu.ops import psi
+from gparml_tpu.ops import psi_pallas
 from gparml_tpu.parallel.mesh import DATA_AXIS
+
+
+def _local_stats(y, mu, s, z, sf2, alpha, block, weights, impl, tile):
+    if impl == "pallas" and s is not None:
+        return psi_pallas.suff_stats(y, mu, s, z, sf2, alpha, weights=weights, tile=tile)
+    return psi.suff_stats(y, mu, s, z, sf2, alpha, block=block, weights=weights)
 
 
 def suff_stats_sharded(
@@ -41,6 +48,8 @@ def suff_stats_sharded(
     axis: str = DATA_AXIS,
     block: Optional[int] = None,
     weights=None,
+    impl: str = "xla",
+    tile: int = 16,
 ) -> psi.SufficientStats:
     """Global SufficientStats with (y, mu, s, weights) sharded over ``axis``
     and (z, sf2, alpha) replicated. Output is replicated on every device.
@@ -53,8 +62,8 @@ def suff_stats_sharded(
     has_w = weights is not None
 
     def local(y, mu, s_or_none, w_or_none, z, sf2, alpha):
-        st = psi.suff_stats(
-            y, mu, s_or_none, z, sf2, alpha, block=block, weights=w_or_none
+        st = _local_stats(
+            y, mu, s_or_none, z, sf2, alpha, block, w_or_none, impl, tile
         )
         return jax.tree.map(lambda t: jax.lax.psum(t, axis), st)
 
@@ -75,6 +84,10 @@ def suff_stats_sharded(
         mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, rep, rep, rep),
         out_specs=rep,
+        # The Pallas psi kernel's custom_vjp is opaque to the static
+        # replication checker; the specs are validated by the
+        # partition-invariance tests instead.
+        check_vma=False,
     )
     return fn(y, mu, dummy_s, dummy_w, z, sf2, alpha)
 
@@ -83,14 +96,18 @@ def suff_stats_auto(
     y, mu, s, z, sf2, alpha,
     *, mesh: Optional[Mesh] = None, axis: str = DATA_AXIS,
     block: Optional[int] = None, weights=None,
+    impl: str = "xla", tile: int = 16,
 ) -> psi.SufficientStats:
     """Single-device or distributed sufficient statistics, one entry point.
 
     ``mesh=None`` is the reference's single-worker path; a mesh switches to
     shard_map+psum (its ``-p local`` vs cluster backends collapse to this one
-    flag, SURVEY.md §2 "Remote/cluster MapReduce backend")."""
+    flag, SURVEY.md §2 "Remote/cluster MapReduce backend"). ``impl`` selects
+    the psi engine: 'xla' (blocked scan) or 'pallas' (fused kernel; GPLVM
+    path only — the SGPR s=None statistics are plain MXU matmuls already)."""
     if mesh is None:
-        return psi.suff_stats(y, mu, s, z, sf2, alpha, block=block, weights=weights)
+        return _local_stats(y, mu, s, z, sf2, alpha, block, weights, impl, tile)
     return suff_stats_sharded(
-        y, mu, s, z, sf2, alpha, mesh=mesh, axis=axis, block=block, weights=weights
+        y, mu, s, z, sf2, alpha, mesh=mesh, axis=axis, block=block,
+        weights=weights, impl=impl, tile=tile,
     )

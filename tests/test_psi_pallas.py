@@ -104,3 +104,30 @@ def test_bound_through_pallas_matches(rng):
         np.testing.assert_allclose(
             np.asarray(a), b, atol=3e-3 * np.abs(b).max(), rtol=1e-3
         )
+
+
+def test_pallas_stats_inside_shard_map(rng):
+    """stats_impl='pallas' through the data-parallel layer (interpret mode on
+    the CPU mesh) matches the XLA path, values and gradients."""
+    import jax
+    from gparml_tpu.parallel import mesh as mesh_lib
+    from gparml_tpu.parallel import stats as pstats
+
+    y, mu, s, z, sf2, alpha = _inputs(rng, n=32, d=3, q=2, m=5)
+    m8 = mesh_lib.make_mesh(8)
+    ys, mus, ss, w = mesh_lib.shard_data(m8, np.asarray(y), np.asarray(mu), np.asarray(s))
+
+    def obj(impl):
+        def f(mu_, s_, z_):
+            st = pstats.suff_stats_sharded(
+                ys, mu_, s_, z_, sf2, alpha, mesh=m8, weights=w, impl=impl, tile=8
+            )
+            return jnp.sum(st.psi2) + jnp.sum(st.psi1_y)
+        return jax.value_and_grad(f, argnums=(0, 1, 2))(mus, ss, z)
+
+    fx, gx = obj("xla")
+    fp, gp = obj("pallas")
+    np.testing.assert_allclose(float(fp), float(fx), rtol=1e-4)
+    for a, b in zip(gp, gx):
+        b = np.asarray(b)
+        np.testing.assert_allclose(np.asarray(a), b, atol=3e-4 * max(np.abs(b).max(), 1e-9), rtol=1e-3)
