@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gparml_tpu.ops.precise import compensated_dot
+from gparml_tpu.ops.precise import _comp_dg, compensated_dot
 from gparml_tpu.ops.psi import SufficientStats, kl_qp
 
 _NEG_BIG = -1e30
@@ -47,14 +47,58 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _tile_2d(mu, s, z, z2, alpha, log_sf2, logw, neg_pad):
+    """2-D per-tile pieces shared by forward and backward:
+      lq   (TN, Mp): log Psi1 (incl. log w and the M-padding -inf mask)
+      vpp  (TN, Mp): the per-side Psi2 exponent vector (see _tile_stats doc)
+      coef (TN, Qp): the per-point quadratic-form coefficients (alpha - c2)/2
+    ``alpha`` may be (1, Qp) (forward) or (TN, Qp) (backward: full-rank leaf
+    so its cotangent avoids a transpose-of-broadcast Mosaic can't lower).
+    """
+    den1 = alpha * s + 1.0                                        # (TN, Qp)
+    c1 = alpha / den1
+    logn1 = (
+        log_sf2
+        - 0.5 * jnp.sum(jnp.log(den1), axis=1, keepdims=True)
+        - 0.5 * jnp.sum(c1 * mu * mu, axis=1, keepdims=True)
+        + logw
+    )                                                             # (TN, 1)
+    quad = compensated_dot(c1 * mu, z) - 0.5 * compensated_dot(c1, z2)
+    lq = logn1 + quad + neg_pad                                   # (TN, Mp)
+
+    den2 = 2.0 * alpha * s + 1.0
+    c2 = alpha / den2                                             # (TN, Qp)
+    log_const = (
+        2.0 * log_sf2
+        - 0.5 * jnp.sum(jnp.log(den2), axis=1, keepdims=True)
+        - jnp.sum(c2 * mu * mu, axis=1, keepdims=True)
+    )                                                             # (TN, 1)
+    r = compensated_dot(alpha, z2)                                # sum_q a z^2
+    vpp = (
+        compensated_dot(c2 * mu, z)
+        - 0.25 * compensated_dot(c2, z2)
+        - 0.25 * r
+        + 0.5 * log_const
+        + 0.5 * logw
+        + neg_pad
+    )                                                             # (TN, Mp)
+    coef = 0.5 * (alpha - c2)                                     # (TN, Qp) >= 0
+    return lq, vpp, coef
+
+
+def _mask_and_logw(mu, w, mp, m_real):
+    neg_pad = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, mp), 1) >= m_real
+    ).astype(mu.dtype) * _NEG_BIG                                 # (1, Mp)
+    logw = jnp.log(w)                                             # (TN, 1); -inf at w=0
+    return neg_pad, logw
+
+
 def _tile_stats(mu, s, yw, w, z, z2, alpha, log_sf2, m_real: int):
     """Pure-jnp per-tile statistics. Shapes:
       mu, s: (TN, Qp); yw: (TN, D); w: (TN, 1); z, z2: (Mp, Qp);
       alpha: (1, Qp); log_sf2: (1, 1).
     Returns (psi1y (Mp, D), psi2 (Mp, Mp)).
-
-    Written once, used by BOTH the forward kernel and (through jax.vjp) the
-    backward kernel — forward/backward can never drift apart.
 
     The Psi2 exponent is fully folded so the (TN, Mp, Mp) elementwise chain is
     just two broadcast adds + exp + reduce:
@@ -73,52 +117,15 @@ def _tile_stats(mu, s, yw, w, z, z2, alpha, log_sf2, m_real: int):
     f32 = jnp.float32
     tn, qp = mu.shape
     mp = z.shape[0]
+    neg_pad, logw = _mask_and_logw(mu, w, mp, m_real)
+    lq, vpp, coef = _tile_2d(mu, s, z, z2, alpha, log_sf2, logw, neg_pad)
 
-    hi = jax.lax.Precision.HIGHEST
-    neg_pad = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, mp), 1) >= m_real
-    ).astype(mu.dtype) * _NEG_BIG                                 # (1, Mp)
-    logw = jnp.log(w)                                             # (TN, 1); -inf at w=0
-
-    # ---- Psi1 tile ----
-    den1 = alpha * s + 1.0                                        # (TN, Qp)
-    c1 = alpha / den1
-    logn1 = (
-        log_sf2
-        - 0.5 * jnp.sum(jnp.log(den1), axis=1, keepdims=True)
-        - 0.5 * jnp.sum(c1 * mu * mu, axis=1, keepdims=True)
-        + logw
-    )                                                             # (TN, 1)
-    # quad = sum_q (c1 mu) z - 1/2 sum_q c1 z^2
-    quad = compensated_dot(c1 * mu, z) - 0.5 * compensated_dot(c1, z2)  # (TN, Mp)
-    psi1 = jnp.exp(logn1 + quad + neg_pad)                        # (TN, Mp)
+    psi1 = jnp.exp(lq)                                            # (TN, Mp)
     psi1y = jax.lax.dot_general(
         psi1, yw, (((0,), (0,)), ((), ())), preferred_element_type=f32,
         precision=jax.lax.Precision.HIGHEST,
     )                                                             # (Mp, D)
 
-    # ---- Psi2 tile ----
-    den2 = 2.0 * alpha * s + 1.0
-    c2 = alpha / den2                                             # (TN, Qp)
-    log_const = (
-        2.0 * log_sf2
-        - 0.5 * jnp.sum(jnp.log(den2), axis=1, keepdims=True)
-        - jnp.sum(c2 * mu * mu, axis=1, keepdims=True)
-    )                                                             # (TN, 1)
-    r = compensated_dot(alpha, z2)                                # sum_q a z^2
-    vpp = (
-        compensated_dot(c2 * mu, z)
-        - 0.25 * compensated_dot(c2, z2)
-        - 0.25 * r
-        + 0.5 * log_const
-        + 0.5 * logw
-        + neg_pad
-    )                                                             # (TN, Mp)
-
-    # Bt_n[m, m'] = sum_q coef_nq z_mq z_m'q — one (TN*Mp, Qp)x(Qp, Mp) MXU op.
-    # HIGH precision (3 bf16 passes) gives ~f32-accurate products at half the
-    # MXU passes of HIGHEST; the exponent error is ~1e-6, invisible in Psi2.
-    coef = 0.5 * (alpha - c2)                                     # (TN, Qp) >= 0
     zc = (z[None, :, :] * coef[:, None, :]).reshape(tn * mp, qp)  # (TN*Mp, Qp)
     bt = compensated_dot(zc, z).reshape(tn, mp, mp)
     lp = bt + vpp[:, :, None] + vpp[:, None, :]
@@ -142,37 +149,86 @@ def _fwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
 
 
 def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
-                alpha_ref, logsf2_ref, dp1y_ref, dp2_ref,
+                alpha_ref, logsf2_ref, dp1y_ref, dp2s_ref,
                 dmu_ref, ds_ref, dyw_ref, dz_ref, dalpha_ref,
                 dlogsf2_ref, *, m_real: int):
+    """Hand-fused backward: one pass over the (TN, Mp, Mp) tensor.
+
+    With E_n = exp(lp_n) (symmetric) and dp2s the SYMMETRIZED Psi2 cotangent
+    (valid: Psi2 is symmetric, so only the symmetric part of its cotangent
+    contributes), let G_n = E_n * dp2s (symmetric). Exactly:
+
+      d vpp_n[m]  = 2 sum_m' G_n[m, m']              (ones column of H)
+      d coef_nq   = sum_{m,m'} G_n[m,m'] z_mq z_m'q  = sum_m z[m,q] H_n[m,q]
+      d z[m,q]   += 2 sum_n coef_nq H_n[m,q]         (direct bt path)
+      with H_n = G_n @ [z, 1].
+
+    H uses a 2-term compensated product ([G_hi|G_lo] against [zext_hi block;
+    zext_lo block]) — only the G_lo*z_lo term (~4e-6 relative) is dropped, at
+    one-third the MXU passes of HIGHEST. All 2-D chains (lq, vpp, coef and
+    their dependence on mu, s, z, alpha, log sf2) go through jax.vjp of
+    _tile_2d — no hand-derived chain rules beyond the identities above.
+    """
+    f32 = jnp.float32
+    tn, qp = mu_ref.shape
+    mp = z_ref.shape[0]
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         dz_ref[:] = jnp.zeros_like(dz_ref)
         dalpha_ref[:] = jnp.zeros_like(dalpha_ref)
         dlogsf2_ref[:] = jnp.zeros_like(dlogsf2_ref)
 
-    # z2 = z*z is re-derived from z inside the tile function so the chain rule
-    # includes both of z's entry points. alpha is pre-broadcast to (TN, Q)
-    # OUTSIDE the vjp: Mosaic cannot lower the transpose-of-broadcast
-    # (reduce to (1, Q)) that a (1, Q) alpha leaf would put inside the
-    # backward graph; with a full-rank leaf the reduce is a plain jnp.sum
-    # applied to the vjp result instead.
-    def tile_fn_full(mu, s, yw, z, alphab, logsf2):
-        return _tile_stats(
-            mu, s, yw, w_ref[:], z, z * z, alphab, logsf2, m_real
-        )
+    neg_pad, logw = _mask_and_logw(mu_ref[:], w_ref[:], mp, m_real)
+    alphab = jnp.broadcast_to(alpha_ref[:], (tn, qp))
 
-    tn = mu_ref.shape[0]
-    alphab = jnp.broadcast_to(alpha_ref[:], (tn, alpha_ref.shape[1]))
-    _, vjp = jax.vjp(
-        tile_fn_full, mu_ref[:], s_ref[:], yw_ref[:], z_ref[:],
-        alphab, logsf2_ref[:],
+    def small_fn(mu, s, z, alphab, logsf2):
+        return _tile_2d(mu, s, z, z * z, alphab, logsf2, logw, neg_pad)
+
+    (lq, vpp, coef), vjp2 = jax.vjp(
+        small_fn, mu_ref[:], s_ref[:], z_ref[:], alphab, logsf2_ref[:]
     )
-    dmu, ds, dyw, dz, dalphab, dlogsf2 = vjp((dp1y_ref[:], dp2_ref[:]))
+
+    # ---- Psi1 path ----
+    psi1 = jnp.exp(lq)
+    dpsi1 = _comp_dg(yw_ref[:], dp1y_ref[:], 1, 1)       # (TN, Mp)
+    dlq = dpsi1 * psi1
+    dyw_ref[:] = _comp_dg(psi1, dp1y_ref[:], 1, 0)       # (TN, D)
+
+    # ---- Psi2 3-D path ----
+    z = z_ref[:]
+    zc = (z[None, :, :] * coef[:, None, :]).reshape(tn * mp, qp)
+    bt = compensated_dot(zc, z).reshape(tn, mp, mp)
+    e = jnp.exp(bt + vpp[:, :, None] + vpp[:, None, :])
+    g = (e * dp2s_ref[:][None, :, :]).reshape(tn * mp, mp)
+
+    zext = jnp.concatenate([z, jnp.ones((mp, 1), f32)], axis=1)   # (Mp, Qp+1)
+    z_hi = zext.astype(jnp.bfloat16).astype(f32)
+    z_lo = zext - z_hi
+    g_hi = g.astype(jnp.bfloat16).astype(f32)
+    g_lo = g - g_hi
+    lhs = jnp.concatenate([g_hi, g_lo], axis=1)                   # (TN*Mp, 2Mp)
+    zeros = jnp.zeros_like(zext)
+    rhs = jnp.concatenate(
+        [jnp.concatenate([z_hi, z_lo], axis=1),                   # top Mp rows
+         jnp.concatenate([z_hi, zeros], axis=1)], axis=0,         # bottom Mp
+    )                                                             # (2Mp, 2(Qp+1))
+    h2 = jax.lax.dot_general(
+        lhs, rhs, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+    )                                                             # (TN*Mp, 2(Qp+1))
+    kk = qp + 1
+    h = (h2[:, :kk] + h2[:, kk:]).reshape(tn, mp, kk)             # (TN, Mp, Qp+1)
+
+    dvpp = 2.0 * h[:, :, qp]                                      # (TN, Mp)
+    hq = h[:, :, :qp]                                             # (TN, Mp, Qp)
+    dcoef = jnp.sum(z[None, :, :] * hq, axis=1)                   # (TN, Qp)
+    dz_direct = 2.0 * jnp.sum(coef[:, None, :] * hq, axis=0)      # (Mp, Qp)
+
+    # ---- 2-D chains ----
+    dmu, ds, dz2d, dalphab, dlogsf2 = vjp2((dlq, dvpp, dcoef))
     dmu_ref[:] = dmu
     ds_ref[:] = ds
-    dyw_ref[:] = dyw
-    dz_ref[:] += dz
+    dz_ref[:] += dz2d + dz_direct
     dalpha_ref[:] += jnp.sum(dalphab, axis=0, keepdims=True)
     dlogsf2_ref[:] += dlogsf2
 
@@ -261,9 +317,8 @@ def _psi_fused_bwd(tile, interpret, res, cots):
     n = mu.shape[0]
     q = mu.shape[1]
 
-    # The vjp of the tile function materializes ~4 (TN, Mp, Mp) buffers in
-    # VMEM (forward remat + cotangents); tile 8 is the largest that fits the
-    # 16MB VMEM at Mp=256 regardless of the forward tile.
+    # The hand-fused backward keeps ~3 (TN, Mp, Mp) buffers live (bt, E, G);
+    # tile 8 fits the 16MB VMEM at Mp=256 with headroom.
     tile = 8
 
     mu_p, s_p, yw_p, w_p, z_p, npad, qp, mp = _pad_inputs(mu, s, yw, w_arr, z, tile)
@@ -271,7 +326,10 @@ def _psi_fused_bwd(tile, interpret, res, cots):
     alpha_row = alpha.reshape(1, qp).astype(dtype)
     logsf2 = jnp.log(jnp.asarray(sf2, dtype)).reshape(1, 1)
     dp1y_p = jnp.zeros((mp, d), dtype).at[:m].set(dp1y)
-    dp2_p = jnp.zeros((mp, mp), dtype).at[:m, :m].set(dp2)
+    # Psi2 is symmetric, so only the symmetric part of its cotangent acts;
+    # the fused backward exploits G = E * dp2s being symmetric.
+    dp2s = 0.5 * (dp2 + dp2.T)
+    dp2_p = jnp.zeros((mp, mp), dtype).at[:m, :m].set(dp2s)
     grid = npad // tile
 
     kernel = functools.partial(_bwd_kernel, m_real=m)
@@ -288,7 +346,7 @@ def _psi_fused_bwd(tile, interpret, res, cots):
             pl.BlockSpec((1, qp), lambda i: (0, 0)),
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
             pl.BlockSpec((mp, d), lambda i: (0, 0)),           # dp1y
-            pl.BlockSpec((mp, mp), lambda i: (0, 0)),          # dp2
+            pl.BlockSpec((mp, mp), lambda i: (0, 0)),          # dp2s
         ],
         out_specs=[
             pl.BlockSpec((tile, qp), lambda i: (i, 0)),        # dmu
