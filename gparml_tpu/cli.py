@@ -1,0 +1,212 @@
+"""Command-line driver with the reference's option surface.
+
+Re-design of GParML ``parallel_GPLVM.py`` (SURVEY.md §2/§3.1 [C-HIGH]): the
+same workflow — folder setup, embedding init (PCA/random/load), Z + hyper
+init, joint SCG optimization, results saved back to folders — with the
+MapReduce pass replaced by one jit'd fused bound+gradient evaluation over the
+device mesh. Option letters/names follow the reference where sensible
+(SURVEY.md §5 config table [C-MED exact names]):
+
+  -i/--input         folder of per-partition Y_<i>.npy files
+  -e/--embeddings    folder for X_mu_<i>.npy / X_S_<i>.npy
+  -p/--parallel      local (this host's devices) | remote (multi-host pod)
+  -T/--iterations    optimizer iterations
+  -q/--latent-dim    latent dimensionality Q
+  -m/--num-inducing  inducing point count M
+  -s/--statistics    output folder for history/checkpoints/timings
+  --fixed-embeddings / --fixed-beta / --init {pca,random} / --load
+
+Run ``python -m gparml_tpu.cli --help`` for the full surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gparml_tpu",
+        description="TPU-native sparse variational GP / Bayesian GPLVM trainer",
+    )
+    p.add_argument("-i", "--input", required=True, help="folder of Y_<i>.npy partitions")
+    p.add_argument("-e", "--embeddings", required=True, help="embeddings folder")
+    p.add_argument("-p", "--parallel", choices=["local", "remote"], default="local")
+    p.add_argument("-T", "--iterations", type=int, default=100)
+    p.add_argument("-q", "--latent-dim", type=int, default=2, dest="q")
+    p.add_argument("-m", "--num-inducing", type=int, default=10, dest="m")
+    p.add_argument("-s", "--statistics", default=None, help="output folder for logs/checkpoints")
+    p.add_argument("--fixed-embeddings", action="store_true",
+                   help="treat embeddings as observed inputs (sparse GP regression mode)")
+    p.add_argument("--fixed-beta", action="store_true", help="do not optimize noise precision")
+    p.add_argument("--init", choices=["pca", "random"], default="pca")
+    p.add_argument("--load", action="store_true",
+                   help="resume: load existing embeddings (and checkpoint if present)")
+    p.add_argument("--optimizer", choices=["scg", "adam", "gd"], default="scg")
+    p.add_argument("--learning-rate", type=float, default=1e-2)
+    p.add_argument("--stats-impl", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--block", type=int, default=None,
+                   help="N-block size for the scanned psi path (memory bound)")
+    p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument("--bijector", choices=["exp", "softplus"], default="exp")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--display", action="store_true", help="per-iteration optimizer prints")
+    p.add_argument("--save-partitions", type=int, default=None,
+                   help="partition count for saved embeddings (default: match input)")
+    return p
+
+
+def run(options) -> dict:
+    """Execute a full training run; returns a summary dict (also written to
+    the statistics folder). ``options`` is the parsed argparse namespace (or
+    anything with the same attributes), mirroring the reference's run(options)
+    entry point."""
+    import jax
+    import jax.numpy as jnp
+
+    from gparml_tpu import checkpoint, data
+    from gparml_tpu.models import gplvm, params as P
+    from gparml_tpu.opt import scg
+    from gparml_tpu.parallel import mesh as mesh_lib
+    from gparml_tpu.utils import logging as glog
+
+    t_start = time.perf_counter()
+    dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
+    if options.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    # ---- data ----
+    y_np = data.load_partitioned(options.input, prefix="Y")
+    n_partitions = options.save_partitions or len(
+        data._partition_files(options.input, prefix="Y")
+    )
+    n, d = y_np.shape
+
+    # ---- mesh ----
+    if options.parallel == "remote":
+        from gparml_tpu.parallel import distributed
+
+        distributed.initialize()
+        mesh = distributed.global_mesh()
+    else:
+        n_dev = len(jax.devices())
+        mesh = mesh_lib.make_mesh(n_dev) if n_dev > 1 else None
+
+    timer = glog.Timer()
+    timer.start("init")
+    key = jax.random.key(options.seed)
+
+    # ---- model + params ----
+    cfg = gplvm.GPLVMConfig(
+        q=options.q,
+        num_inducing=options.m,
+        bijector=options.bijector,
+        block=options.block,
+        stats_impl=options.stats_impl,
+        init=options.init,
+        fixed_embeddings=options.fixed_embeddings,
+        fixed_beta=options.fixed_beta,
+    )
+    y = jnp.asarray(y_np, dtype)
+
+    if options.load and os.path.isdir(options.embeddings):
+        mu_np, s_np = data.load_embeddings(options.embeddings)
+        if mu_np.shape != (n, options.q):
+            raise ValueError(
+                f"loaded embeddings {mu_np.shape} do not match (N={n}, Q={options.q})"
+            )
+        k1, _ = jax.random.split(key)
+        from gparml_tpu.utils import init as init_utils
+
+        lat = P.make_latents(jnp.asarray(mu_np, dtype), jnp.asarray(s_np, dtype),
+                             bijector=options.bijector)
+        z = init_utils.init_inducing(k1, lat.mu, options.m)
+        glob = P.make_global(z, 1.0, np.ones(options.q),
+                             10.0 / max(float(np.var(y_np)), 1e-6),
+                             bijector=options.bijector)
+        glob = jax.tree.map(lambda a: a.astype(dtype), glob)
+        params = P.GPLVMParams(glob=glob, lat=lat)
+    else:
+        params = gplvm.init_params(key, y, cfg)
+
+    ckpt_path = None
+    if options.statistics:
+        ckpt_path = os.path.join(options.statistics, "checkpoint.npz")
+        if options.load and os.path.exists(ckpt_path):
+            params, meta = checkpoint.load(ckpt_path, params)
+            print(f"resumed from {ckpt_path} (iteration {meta.get('iteration')})")
+
+    weights = None
+    if mesh is not None:
+        y, mu_s, us_s, weights = mesh_lib.shard_data(
+            mesh, np.asarray(y), np.asarray(params.lat.mu), np.asarray(params.lat.u_s)
+        )
+        rep = mesh_lib.replicated(mesh)
+        glob = jax.tree.map(lambda a: jax.device_put(a, rep), params.glob)
+        params = P.GPLVMParams(glob=glob, lat=P.LatentParams(mu=mu_s, u_s=us_s))
+    timer.stop("init")
+
+    # ---- fit ----
+    timer.start("fit")
+    scg_options = scg.SCGOptions(max_iters=options.iterations, display=options.display)
+    result = gplvm.fit(
+        params, y, cfg,
+        iters=options.iterations,
+        optimizer=options.optimizer,
+        learning_rate=options.learning_rate,
+        scg_options=scg_options if options.optimizer == "scg" else None,
+        mesh=mesh, weights=weights,
+    )
+    final_bound = float(result.bound)
+    timer.stop("fit")
+
+    # ---- save ----
+    timer.start("save")
+    mu, s = gplvm.latents(result.params, cfg)
+    mu_np = np.asarray(mu)[:n]
+    s_np = np.asarray(s)[:n]
+    data.save_embeddings(options.embeddings, mu_np, s_np, n_partitions)
+    summary = {
+        "n": n, "d": d, "q": options.q, "m": options.m,
+        "optimizer": options.optimizer,
+        "stats_impl": options.stats_impl,
+        "iterations": options.iterations,
+        "n_evals": int(result.n_evals),
+        "final_bound": final_bound,
+        "devices": len(jax.devices()),
+        "parallel": options.parallel,
+    }
+    if options.statistics:
+        os.makedirs(options.statistics, exist_ok=True)
+        glog.write_history(
+            os.path.join(options.statistics, "bound_history.jsonl"), result.history
+        )
+        checkpoint.save(
+            ckpt_path, result.params,
+            meta={"iteration": options.iterations, "bound": final_bound,
+                  "config": {k: v for k, v in vars(options).items()
+                             if isinstance(v, (int, float, str, bool, type(None)))}},
+        )
+    timer.stop("save")
+    summary["wall_time_s"] = round(time.perf_counter() - t_start, 3)
+    summary["timings_s"] = {k: round(v, 3) for k, v in timer.summary().items()}
+    if options.statistics:
+        with open(os.path.join(options.statistics, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return summary
+
+
+def main(argv=None):
+    options = build_parser().parse_args(argv)
+    return run(options)
+
+
+if __name__ == "__main__":
+    main()

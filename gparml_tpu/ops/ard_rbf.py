@@ -55,7 +55,12 @@ def kmm(z: jnp.ndarray, sf2, alpha: jnp.ndarray, jitter: float = 1e-6) -> jnp.nd
     """K(Z, Z) with diagonal jitter, used for the inducing-point Gram matrix.
 
     The jitter is scaled by sf2 so conditioning is invariant to the signal
-    variance (reference adds an absolute jitter; relative is more robust in f32).
+    variance (reference adds an absolute jitter; relative is more robust in
+    f32), and floored at 100x the dtype epsilon — 1e-6 is fine in float64 but
+    underflows the conditioning needs of float32 Cholesky factors.
     """
+    import numpy as np
+
     m = z.shape[0]
-    return k(z, z, sf2, alpha) + (jitter * sf2) * jnp.eye(m, dtype=z.dtype)
+    eff = max(float(jitter), 100.0 * float(np.finfo(z.dtype).eps))
+    return k(z, z, sf2, alpha) + (eff * sf2) * jnp.eye(m, dtype=z.dtype)

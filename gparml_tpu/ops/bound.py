@@ -56,12 +56,26 @@ def bound_from_stats(
     kmm = ard_rbf.kmm(z, sf2, alpha, jitter=jitter)
     lm = jnp.linalg.cholesky(kmm)
 
-    # C2 = Lm^-1 Psi2 Lm^-T  (M, M)
-    tmp = solve_triangular(lm, stats.psi2, lower=True)
-    c2 = solve_triangular(lm, tmp.T, lower=True)
-    tr_kinv_psi2 = jnp.trace(c2)
-
-    b = jnp.eye(m, dtype=dtype) + beta * 0.5 * (c2 + c2.T)
+    if dtype == jnp.float64:
+        # exact B-form (oracle-parity path)
+        tmp = solve_triangular(lm, stats.psi2, lower=True)
+        c2 = solve_triangular(lm, tmp.T, lower=True)
+        tr_kinv_psi2 = jnp.trace(c2)
+        b = jnp.eye(m, dtype=dtype) + beta * 0.5 * (c2 + c2.T)
+    else:
+        # float32: K_MM condition numbers squared through Lm^-1 Psi2 Lm^-T can
+        # push B indefinite (round-off ~eps*kappa^2 exceeds 1). Factor
+        # Psi2 ~= Lp Lp^T and form C2 = W W^T with W = Lm^-1 Lp — PSD by
+        # construction, so chol(B) cannot NaN; accuracy degrades gracefully
+        # instead of failing.
+        tr_p2 = jnp.trace(stats.psi2)
+        eps_p2 = 1e-6 * (tr_p2 / m) + jnp.asarray(1e-30, dtype)
+        lp_f = jnp.linalg.cholesky(stats.psi2 + eps_p2 * jnp.eye(m, dtype=dtype))
+        w = solve_triangular(lm, lp_f, lower=True)
+        tr_kinv_psi2 = jnp.sum(w * w)
+        b = jnp.eye(m, dtype=dtype) + beta * jnp.matmul(
+            w, w.T, precision="highest"
+        )
     lb = jnp.linalg.cholesky(b)
     log_det_b = 2.0 * jnp.sum(jnp.log(jnp.diagonal(lb)))
 
@@ -90,11 +104,20 @@ def posterior(stats: SufficientStats, z, sf2, alpha, beta, jitter: float = 1e-6)
     the predictive mean at X* is beta * K_{*M} (A^-1 Psi1^T Y).
     """
     m = z.shape[0]
+    dtype = stats.psi2.dtype
     kmm = ard_rbf.kmm(z, sf2, alpha, jitter=jitter)
     lm = jnp.linalg.cholesky(kmm)
-    tmp = solve_triangular(lm, stats.psi2, lower=True)
-    c2 = solve_triangular(lm, tmp.T, lower=True)
-    b = jnp.eye(m, dtype=stats.psi2.dtype) + beta * 0.5 * (c2 + c2.T)
+    if dtype == jnp.float64:
+        tmp = solve_triangular(lm, stats.psi2, lower=True)
+        c2 = solve_triangular(lm, tmp.T, lower=True)
+        b = jnp.eye(m, dtype=dtype) + beta * 0.5 * (c2 + c2.T)
+    else:
+        # PSD-by-construction float32 path (see bound_from_stats)
+        tr_p2 = jnp.trace(stats.psi2)
+        eps_p2 = 1e-6 * (tr_p2 / m) + jnp.asarray(1e-30, dtype)
+        lp_f = jnp.linalg.cholesky(stats.psi2 + eps_p2 * jnp.eye(m, dtype=dtype))
+        w = solve_triangular(lm, lp_f, lower=True)
+        b = jnp.eye(m, dtype=dtype) + beta * jnp.matmul(w, w.T, precision="highest")
     lb = jnp.linalg.cholesky(b)
     c1 = solve_triangular(lm, stats.psi1_y, lower=True)
     cb = cho_solve((lb, True), c1)

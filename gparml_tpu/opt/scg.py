@@ -36,13 +36,14 @@ from gparml_tpu.models.params import tree_axpy, tree_dot, tree_neg
 
 class SCGOptions(NamedTuple):
     max_iters: int = 100
-    xtol: float = 1e-8        # min step size before convergence declared
-    ftol: float = 1e-8        # min |f - fold| before convergence declared
+    xtol: float = 1e-8        # min relative step size before convergence declared
+    ftol: float = 1e-8        # min relative |f - fold| before convergence declared
     gtol: float = 1e-10       # ||grad||^2 threshold
     sigma0: float = 1e-4      # finite-difference probe scale
     lam0: float = 1.0         # initial scale/regularization lambda
     lam_min: float = 1e-15
     lam_max: float = 1e100
+    display: bool = False     # per-iteration jax.debug.print (reference's display flag)
 
 
 class SCGState(NamedTuple):
@@ -83,11 +84,20 @@ def minimize(
     nparams = sum(l.size for l in jax.tree.leaves(x0))
 
     f0, g0 = value_and_grad_fn(x0)
-    # Clamp lambda bounds into the objective dtype's finite range (f32 on TPU).
+    # Clamp lambda bounds into the objective dtype's finite range (f32 on TPU)
+    # and floor the convergence tolerances at ~30 dtype epsilons: the
+    # reference's absolute 1e-8 defaults assume float64; below f32 resolution
+    # they fire on rounding noise.
     fi = jnp.finfo(f0.dtype)
     lam_max = min(options.lam_max, float(fi.max) / 8.0)
     lam_min = max(options.lam_min, float(fi.tiny) * 8.0)
-    options = options._replace(lam_max=lam_max, lam_min=lam_min)
+    tol_floor = 30.0 * float(fi.eps)
+    options = options._replace(
+        lam_max=lam_max, lam_min=lam_min,
+        xtol=max(options.xtol, tol_floor), ftol=max(options.ftol, tol_floor),
+        # curvature probe must out-scale gradient rounding noise
+        sigma0=max(options.sigma0, 10.0 * float(fi.eps) ** 0.5),
+    )
     d0 = tree_neg(g0)
     history0 = jnp.full((options.max_iters,), jnp.nan, dtype=f0.dtype)
 
@@ -161,9 +171,14 @@ def minimize(
         g_old = jax.tree.map(lambda a, b: jnp.where(ok, a, b), st.g_new, st.g_old)
         g_new = jax.tree.map(lambda a, b: jnp.where(ok, a, b), g_cand, st.g_new)
 
-        # convergence tests (only meaningful after an accepted step)
-        small_step = _tree_max_abs(jax.tree.map(lambda di: alpha * di, st.d)) < options.xtol
-        small_df = jnp.abs(f_new - st.f_old) < options.ftol
+        # convergence tests (only meaningful after an accepted step); both
+        # relative — to parameter scale and objective scale respectively
+        x_scale = 1.0 + _tree_max_abs(st.x)
+        small_step = (
+            _tree_max_abs(jax.tree.map(lambda di: alpha * di, st.d))
+            < options.xtol * x_scale
+        )
+        small_df = jnp.abs(f_new - st.f_old) < options.ftol * (1.0 + jnp.abs(f_new))
         gg = tree_dot(g_new, g_new)
         done = jnp.logical_and(ok, jnp.logical_and(small_step, small_df))
         done = jnp.logical_or(done, gg < options.gtol)
@@ -189,6 +204,12 @@ def minimize(
         nsuccess = jnp.where(restart, 0, nsuccess)
 
         history = st.history.at[st.iteration].set(f_now)
+
+        if options.display:
+            jax.debug.print(
+                "SCG iter {i}: f={f} lambda={l} accepted={a}",
+                i=st.iteration, f=f_now, l=lam, a=ok,
+            )
 
         return SCGState(
             x=x, f_now=f_now, f_old=f_old, g_new=g_new, g_old=g_old, d=d,

@@ -44,15 +44,39 @@ def init_latents(key, y: jnp.ndarray, q: int, method: str = "pca", s0: float = 0
     return mu, s
 
 
-def init_inducing(key, x: jnp.ndarray, m: int, noise: float = 1e-3) -> jnp.ndarray:
-    """M inducing inputs: random rows of X plus jitter (reference: "Z <- M rows
-    sampled from embeddings (+jitter)", SURVEY.md §3.1)."""
+def init_inducing(
+    key, x: jnp.ndarray, m: int, noise: float = 1e-2, method: str = "fps"
+) -> jnp.ndarray:
+    """M inducing inputs from the data (reference: "Z <- M rows sampled from
+    embeddings (+jitter)", SURVEY.md §3.1).
+
+    Default is farthest-point sampling rather than the reference's uniform
+    rows: uniform sampling of dense data picks near-duplicate rows whose
+    K_MM condition number exceeds float32 (the reference ran float64 CPU and
+    never hit this). FPS keeps the Gram matrix Cholesky-safe by construction;
+    a small data-scaled jitter is still added, matching the reference.
+    """
     n = x.shape[0]
     k1, k2 = jax.random.split(key)
-    if m <= n:
-        idx = jax.random.choice(k1, n, shape=(m,), replace=False)
+    if method == "random" or m > n:
+        idx = (
+            jax.random.choice(k1, n, shape=(m,), replace=False)
+            if m <= n
+            else jax.random.randint(k1, (m,), 0, n)
+        )
         z = x[idx]
     else:
-        idx = jax.random.randint(k1, (m,), 0, n)
+        # farthest-point sampling: O(N*M), fully jittable
+        i0 = jax.random.randint(k1, (), 0, n)
+
+        def step(mind, _):
+            i = jnp.argmax(mind)
+            d2 = jnp.sum((x - x[i]) ** 2, axis=-1)
+            return jnp.minimum(mind, d2), i
+
+        d2_0 = jnp.sum((x - x[i0]) ** 2, axis=-1)
+        _, rest = jax.lax.scan(step, d2_0, None, length=m - 1)
+        idx = jnp.concatenate([i0[None], rest])
         z = x[idx]
-    return z + noise * jax.random.normal(k2, z.shape, dtype=x.dtype)
+    scale = noise * jnp.maximum(jnp.std(x, axis=0), 1e-6)
+    return z + scale * jax.random.normal(k2, z.shape, dtype=x.dtype)

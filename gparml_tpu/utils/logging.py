@@ -1,0 +1,80 @@
+"""Structured per-iteration metrics (reference: SCG ``display`` prints +
+returned f-history, optional bound/time log file — SURVEY.md §5
+"Metrics / logging / observability").
+
+The optimizers run fully jit'd, so per-iteration values arrive as arrays
+after the fact; ``write_history`` persists them as JSONL or CSV. For live
+output, ``scg.SCGOptions(display=True)`` uses jax.debug.print from inside the
+compiled loop.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def write_history(
+    path: str,
+    history,
+    fmt: Optional[str] = None,
+    extra: Optional[Dict] = None,
+) -> None:
+    """Persist a per-iteration bound history (nan-padded array) as JSONL or
+    CSV. ``fmt`` defaults from the file extension (.jsonl / .csv)."""
+    hist = np.asarray(history)
+    valid = np.isfinite(hist)
+    if fmt is None:
+        fmt = "csv" if path.endswith(".csv") else "jsonl"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    rows = [
+        {"iteration": int(i), "bound": float(hist[i]), **(extra or {})}
+        for i in np.nonzero(valid)[0]
+    ]
+    if fmt == "csv":
+        with open(path, "w", newline="") as f:
+            if rows:
+                writer = csv.DictWriter(f, fieldnames=list(rows[0]))
+                writer.writeheader()
+                writer.writerows(rows)
+    else:
+        with open(path, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+
+
+class Timer:
+    """Wall-clock section timer for fit loops and benchmark harnesses (the
+    reference wraps MapReduce passes in time.time() deltas)."""
+
+    def __init__(self):
+        self.sections: Dict[str, float] = {}
+        self._start: Dict[str, float] = {}
+
+    def start(self, name: str):
+        self._start[name] = time.perf_counter()
+
+    def stop(self, name: str) -> float:
+        dt = time.perf_counter() - self._start.pop(name)
+        self.sections[name] = self.sections.get(name, 0.0) + dt
+        return dt
+
+    def summary(self) -> Dict[str, float]:
+        return dict(self.sections)
+
+
+def trace(log_dir: str):
+    """Context manager: jax.profiler trace (Perfetto/XProf) around a block.
+
+    Usage::
+        with logging.trace('/tmp/trace'):
+            fit(...)
+    """
+    import jax
+
+    return jax.profiler.trace(log_dir)

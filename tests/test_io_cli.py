@@ -1,0 +1,91 @@
+"""Data IO, checkpoint/resume, and end-to-end CLI tests (the reference's
+folder contract + --load resume, SURVEY.md §5)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gparml_tpu import checkpoint, data
+from gparml_tpu.models import gplvm
+from gparml_tpu.models import params as P
+
+
+def test_partitioned_roundtrip(tmp_path, rng):
+    arr = rng.standard_normal((103, 4))
+    paths = data.save_partitioned(str(tmp_path), arr, 7, prefix="Y")
+    assert len(paths) == 7
+    back = data.load_partitioned(str(tmp_path), prefix="Y")
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_embeddings_roundtrip(tmp_path, rng):
+    mu = rng.standard_normal((50, 3))
+    s = rng.uniform(0.1, 1.0, (50, 3))
+    data.save_embeddings(str(tmp_path), mu, s, n_partitions=4)
+    mu2, s2 = data.load_embeddings(str(tmp_path))
+    np.testing.assert_array_equal(mu2, mu)
+    np.testing.assert_array_equal(s2, s)
+
+
+def test_missing_partition_folder_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        data.load_partitioned(str(tmp_path))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    y = jnp.asarray(rng.standard_normal((20, 4)))
+    cfg = gplvm.GPLVMConfig(q=2, num_inducing=5)
+    params = gplvm.init_params(jax.random.key(0), y, cfg)
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save(path, params, meta={"iteration": 7, "bound": -1.5})
+    loaded, meta = checkpoint.load(path, params)
+    assert meta["iteration"] == 7
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_end_to_end_and_resume(tmp_path, rng):
+    """Full reference workflow: partitioned inputs -> fit -> embeddings saved
+    -> resume with --load improves (or keeps) the bound."""
+    from gparml_tpu import cli
+
+    y, _ = data.synthetic_gplvm(n=48, d=5, q_true=1, seed=1)
+    inputs = tmp_path / "inputs"
+    emb = tmp_path / "embeddings"
+    stats = tmp_path / "statistics"
+    data.save_partitioned(str(inputs), y, 3, prefix="Y")
+
+    argv = [
+        "-i", str(inputs), "-e", str(emb), "-s", str(stats),
+        "-T", "15", "-q", "2", "-m", "6", "--seed", "0",
+    ]
+    summary1 = cli.main(argv)
+    assert np.isfinite(summary1["final_bound"])
+    assert (emb / "X_mu_0.npy").exists()
+    assert (stats / "checkpoint.npz").exists()
+    assert (stats / "bound_history.jsonl").exists()
+    with open(stats / "bound_history.jsonl") as f:
+        lines = [json.loads(l) for l in f]
+    assert lines and lines[-1]["bound"] == pytest.approx(summary1["final_bound"], rel=1e-5)
+
+    # resume
+    summary2 = cli.main(argv + ["--load"])
+    assert summary2["final_bound"] >= summary1["final_bound"] - 1e-3
+
+
+def test_cli_adam_and_fixed_beta(tmp_path, rng):
+    from gparml_tpu import cli
+
+    y, _ = data.synthetic_gplvm(n=32, d=4, q_true=1, seed=2)
+    inputs = tmp_path / "inputs"
+    data.save_partitioned(str(inputs), y, 2, prefix="Y")
+    summary = cli.main([
+        "-i", str(inputs), "-e", str(tmp_path / "emb"),
+        "-T", "10", "-q", "2", "-m", "5",
+        "--optimizer", "adam", "--fixed-beta",
+    ])
+    assert np.isfinite(summary["final_bound"])
