@@ -153,3 +153,68 @@ def predict_observed(p: P.GPLVMParams, y, x_star, config: GPLVMConfig, mesh=None
 def latents(p: P.GPLVMParams, config: GPLVMConfig):
     """The learned latent embedding (mu, s) in natural space."""
     return P.constrain_latents(p.lat, config.bijector)
+
+
+def infer_latents(
+    p: P.GPLVMParams,
+    y_train,
+    y_new,
+    config: GPLVMConfig,
+    iters: int = 100,
+    mesh=None,
+    weights=None,
+    scg_options=None,
+):
+    """Variational latent inference for NEW observations y_new (N*, D):
+    optimize q(x*) = N(mu*, diag(s*)) against the collapsed bound of the
+    joint [train + test] data with every trained parameter held fixed —
+    the Bayesian-GPLVM analogue of "predict the latent coordinates".
+
+    Initialization: each test point starts at the latent mean of its nearest
+    training point in data space. Returns (mu*, s*, FitResult-like history).
+    """
+    from gparml_tpu.opt import scg as scg_mod
+
+    z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
+    stats_train = suff_stats(p, y_train, config, mesh=mesh, weights=weights)
+    stats_train = jax.tree.map(jax.lax.stop_gradient, stats_train)
+    d = y_new.shape[1]
+
+    # nearest-training-point init in data space
+    mu_tr, _ = P.constrain_latents(p.lat, config.bijector)
+    d2 = (
+        jnp.sum(y_new * y_new, axis=1)[:, None]
+        - 2.0 * jnp.matmul(y_new, y_train.T, precision="highest")
+        + jnp.sum(y_train * y_train, axis=1)[None, :]
+    )
+    nn = jnp.argmin(d2, axis=1)
+    mu0 = mu_tr[nn]
+    s0 = jnp.full_like(mu0, config.s0)
+    lat0 = P.make_latents(mu0, s0, bijector=config.bijector)
+
+    def neg_bound(lat):
+        mu_s, s_s = P.constrain_latents(lat, config.bijector)
+        st_new = psi.suff_stats(y_new, mu_s, s_s, z, sf2, alpha, block=config.block)
+        st = stats_train + st_new
+        return -bound_ops.bound_from_stats(
+            st, z, sf2, alpha, beta, d=d, jitter=config.jitter
+        )
+
+    vg_fn = jax.value_and_grad(neg_bound)
+    opts = scg_options or scg_mod.SCGOptions(max_iters=iters)
+    st = jax.jit(lambda l: scg_mod.minimize(vg_fn, l, opts))(lat0)
+    mu_s, s_s = P.constrain_latents(st.x, config.bijector)
+    return mu_s, s_s, FitResult(
+        params=p, bound=-st.f_now, history=-st.history, n_evals=st.n_evals,
+    )
+
+
+def reconstruct(p: P.GPLVMParams, y_train, mu_star, s_star, config: GPLVMConfig,
+                mesh=None, weights=None):
+    """Predictive mean/variance of y* given uncertain latents q(x*)
+    (Bayesian-GPLVM reconstruction through the Psi1 expectations)."""
+    z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
+    stats = suff_stats(p, y_train, config, mesh=mesh, weights=weights)
+    return bound_ops.predict_uncertain(
+        mu_star, s_star, stats, z, sf2, alpha, beta, jitter=config.jitter
+    )

@@ -19,6 +19,7 @@ oracle (tests/oracle.py) uses the direct A-form as an independent check.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve, solve_triangular
 
@@ -149,3 +150,43 @@ def predict(
     kss = ard_rbf.k_diag(x_star, sf2)
     var_f = kss - jnp.sum(t1 * t1, axis=0) + jnp.sum(t2 * t2, axis=0)
     return mean, var_f + 1.0 / beta
+
+
+def predict_uncertain(
+    mu_star: jnp.ndarray,
+    s_star: jnp.ndarray,
+    stats: SufficientStats,
+    z: jnp.ndarray,
+    sf2,
+    alpha,
+    beta,
+    jitter: float = 1e-6,
+):
+    """Predictive mean/variance at UNCERTAIN inputs q(x*) = N(mu*, diag(s*))
+    (the Bayesian-GPLVM reconstruction: expectations of the predictor under
+    q(x*), using Psi1 rows in place of kernel rows).
+
+      mean(y*) = beta * Psi1(x*) A^-1 Psi1^T Y
+      var      = sf2 - tr((K_MM^-1 - A^-1) Psi2*) + 1/beta   (per output dim,
+                 the standard first-moment variance approximation)
+    """
+    from gparml_tpu.ops import psi as psi_ops
+
+    lm, lb, a_inv_psi1y = posterior(stats, z, sf2, alpha, beta, jitter=jitter)
+    p1s = psi_ops.psi1(mu_star, s_star, z, sf2, alpha)       # (N*, M)
+    mean = beta * (p1s @ a_inv_psi1y)
+
+    # per-point Psi2* diag terms: tr(K_MM^-1 Psi2*_n) and tr(A^-1 Psi2*_n)
+    def per_point(mu_n, s_n):
+        p2n = psi_ops.psi2_sum(mu_n[None], s_n[None], z, sf2, alpha)  # (M, M)
+        t1 = solve_triangular(lm, p2n, lower=True)
+        c2 = solve_triangular(lm, t1.T, lower=True)          # K^-1-ish
+        tr_k = jnp.trace(c2)
+        t2 = solve_triangular(lb, solve_triangular(lm, p2n, lower=True), lower=True)
+        c3 = solve_triangular(lb, solve_triangular(lm, t2.T, lower=True), lower=True)
+        tr_a = jnp.trace(c3)
+        return tr_k, tr_a
+
+    tr_k, tr_a = jax.vmap(per_point)(mu_star, s_star)
+    var_f = sf2 - tr_k + tr_a
+    return mean, jnp.maximum(var_f, 0.0) + 1.0 / beta

@@ -86,3 +86,32 @@ def test_gplvm_fixed_beta():
     res = gplvm.fit(p0, jnp.asarray(y), cfg, iters=30)
     np.testing.assert_array_equal(res.params.glob.u_beta, p0.glob.u_beta)
     assert not np.array_equal(res.params.glob.z, p0.glob.z)
+
+
+def test_gplvm_infer_latents_and_reconstruct():
+    """Held-out observations: inferred latents should reconstruct them much
+    better than the training-mean baseline (Bayesian-GPLVM test inference)."""
+    rng = np.random.default_rng(8)
+    n, n_test, d = 120, 10, 6
+    t = rng.standard_normal((n + n_test, 1))
+    w = rng.standard_normal((1, d))
+    y_all = np.tanh(t @ w) + 0.05 * rng.standard_normal((n + n_test, d))
+    y_all = (y_all - y_all.mean(0)) / y_all.std(0)
+    y_tr, y_te = jnp.asarray(y_all[:n]), jnp.asarray(y_all[n:])
+
+    cfg = gplvm.GPLVMConfig(q=2, num_inducing=12)
+    p0 = gplvm.init_params(jax.random.key(5), y_tr, cfg)
+    res = gplvm.fit(p0, y_tr, cfg, iters=120)
+
+    mu_s, s_s, inf = gplvm.infer_latents(res.params, y_tr, y_te, cfg, iters=60)
+    assert mu_s.shape == (n_test, 2)
+    assert np.all(np.asarray(s_s) > 0)
+    hist = np.asarray(inf.history)
+    hist = hist[np.isfinite(hist)]
+    assert hist[-1] >= hist[0]  # joint bound improves over the NN init
+
+    mean, var = gplvm.reconstruct(res.params, y_tr, mu_s, s_s, cfg)
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - np.asarray(y_te)) ** 2)))
+    baseline = float(np.sqrt(np.mean(np.asarray(y_te) ** 2)))  # mean-zero data
+    assert rmse < 0.5 * baseline
+    assert np.all(np.asarray(var) > 0)
