@@ -149,8 +149,8 @@ def _fwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
 
 
 def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
-                alpha_ref, logsf2_ref, dp1y_ref, dp2s_ref,
-                dmu_ref, ds_ref, dyw_ref, dz_ref, dalpha_ref,
+                alpha_ref, logsf2_ref, dp1y_ref, dp2s_ref, zhiT_ref, zloT_ref,
+                dmu_ref, ds_ref, dyw_ref, dz_ref, dzt_ref, dalpha_ref,
                 dlogsf2_ref, *, m_real: int):
     """Hand-fused backward: one pass over the (TN, Mp, Mp) tensor.
 
@@ -176,6 +176,7 @@ def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
     @pl.when(pl.program_id(0) == 0)
     def _():
         dz_ref[:] = jnp.zeros_like(dz_ref)
+        dzt_ref[:] = jnp.zeros_like(dzt_ref)
         dalpha_ref[:] = jnp.zeros_like(dalpha_ref)
         dlogsf2_ref[:] = jnp.zeros_like(dlogsf2_ref)
 
@@ -200,35 +201,49 @@ def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
     zc = (z[None, :, :] * coef[:, None, :]).reshape(tn * mp, qp)
     bt = compensated_dot(zc, z).reshape(tn, mp, mp)
     e = jnp.exp(bt + vpp[:, :, None] + vpp[:, None, :])
-    g = (e * dp2s_ref[:][None, :, :]).reshape(tn * mp, mp)
+    g2 = (e * dp2s_ref[:][None, :, :]).reshape(tn * mp, mp)
 
-    zext = jnp.concatenate([z, jnp.ones((mp, 1), f32)], axis=1)   # (Mp, Qp+1)
-    z_hi = zext.astype(jnp.bfloat16).astype(f32)
-    z_lo = zext - z_hi
-    g_hi = g.astype(jnp.bfloat16).astype(f32)
-    g_lo = g - g_hi
-    lhs = jnp.concatenate([g_hi, g_lo], axis=1)                   # (TN*Mp, 2Mp)
-    zeros = jnp.zeros_like(zext)
-    rhs = jnp.concatenate(
-        [jnp.concatenate([z_hi, z_lo], axis=1),                   # top Mp rows
-         jnp.concatenate([z_hi, zeros], axis=1)], axis=0,         # bottom Mp
-    )                                                             # (2Mp, 2(Qp+1))
-    h2 = jax.lax.dot_general(
-        lhs, rhs, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    )                                                             # (TN*Mp, 2(Qp+1))
+    # H^T[k, n*m] = sum_m' zext[m',k] G[n*m, m'], in the lane-friendly
+    # transposed orientation (output rows = Q+1, lanes = TN*Mp; K = Mp fills
+    # the MXU). 2-term compensation as three DEFAULT dots over EXPLICIT bf16
+    # hi/lo splits (backend-independent): only z_lo@G_lo (~(0.4%)^2 of G) is
+    # dropped — negligible in a gradient.
     kk = qp + 1
-    h = (h2[:, :kk] + h2[:, kk:]).reshape(tn, mp, kk)             # (TN, Mp, Qp+1)
+    g_hi = g2.astype(jnp.bfloat16).astype(f32)
+    g_lo = g2 - g_hi
+    hxt = (
+        jax.lax.dot_general(zhiT_ref[:], g_hi, (((1,), (1,)), ((), ())),
+                            preferred_element_type=f32)
+        + jax.lax.dot_general(zloT_ref[:], g_hi, (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+        + jax.lax.dot_general(zhiT_ref[:], g_lo, (((1,), (1,)), ((), ())),
+                              preferred_element_type=f32)
+    )                                                             # (Qp+1, TN*Mp)
+    h3 = hxt.reshape(kk, tn, mp)
 
-    dvpp = 2.0 * h[:, :, qp]                                      # (TN, Mp)
-    hq = h[:, :, :qp]                                             # (TN, Mp, Qp)
-    dcoef = jnp.sum(z[None, :, :] * hq, axis=1)                   # (TN, Qp)
-    dz_direct = 2.0 * jnp.sum(coef[:, None, :] * hq, axis=0)      # (Mp, Qp)
+    dvpp = 2.0 * h3[qp]                                           # (TN, Mp)
+    dcoef = jnp.concatenate(
+        [
+            jax.lax.dot_general(h3[qi], z[:, qi : qi + 1], (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32,
+                                precision=jax.lax.Precision.HIGHEST)
+            for qi in range(qp)
+        ],
+        axis=1,
+    )                                                             # (TN, Qp)
+    dzt_ref[:] += jnp.concatenate(
+        [
+            2.0 * jnp.sum(coef[:, qi : qi + 1] * h3[qi], axis=0, keepdims=True)
+            for qi in range(qp)
+        ],
+        axis=0,
+    )                                                             # (Qp, Mp)
 
     # ---- 2-D chains ----
     dmu, ds, dz2d, dalphab, dlogsf2 = vjp2((dlq, dvpp, dcoef))
     dmu_ref[:] = dmu
     ds_ref[:] = ds
-    dz_ref[:] += dz2d + dz_direct
+    dz_ref[:] += dz2d
     dalpha_ref[:] += jnp.sum(dalphab, axis=0, keepdims=True)
     dlogsf2_ref[:] += dlogsf2
 
@@ -332,8 +347,14 @@ def _psi_fused_bwd(tile, interpret, res, cots):
     dp2_p = jnp.zeros((mp, mp), dtype).at[:m, :m].set(dp2s)
     grid = npad // tile
 
+    kk = qp + 1
+    zext = jnp.concatenate([z_p, jnp.ones((mp, 1), dtype)], axis=1)
+    zext_hi = zext.astype(jnp.bfloat16).astype(dtype)
+    zhi_t = zext_hi.T                                     # (Qp+1, Mp)
+    zlo_t = (zext - zext_hi).T
+
     kernel = functools.partial(_bwd_kernel, m_real=m)
-    dmu, ds, dyw, dz, dalpha, dlogsf2 = pl.pallas_call(
+    dmu, ds, dyw, dz, dzt, dalpha, dlogsf2 = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
@@ -347,12 +368,15 @@ def _psi_fused_bwd(tile, interpret, res, cots):
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
             pl.BlockSpec((mp, d), lambda i: (0, 0)),           # dp1y
             pl.BlockSpec((mp, mp), lambda i: (0, 0)),          # dp2s
+            pl.BlockSpec((kk, mp), lambda i: (0, 0)),          # zext_hi^T
+            pl.BlockSpec((kk, mp), lambda i: (0, 0)),          # zext_lo^T
         ],
         out_specs=[
             pl.BlockSpec((tile, qp), lambda i: (i, 0)),        # dmu
             pl.BlockSpec((tile, qp), lambda i: (i, 0)),        # ds
             pl.BlockSpec((tile, d), lambda i: (i, 0)),         # dyw
-            pl.BlockSpec((mp, qp), lambda i: (0, 0)),          # dz acc
+            pl.BlockSpec((mp, qp), lambda i: (0, 0)),          # dz (2-D chains) acc
+            pl.BlockSpec((qp, mp), lambda i: (0, 0)),          # dz (direct, transposed) acc
             pl.BlockSpec((1, qp), lambda i: (0, 0)),           # dalpha acc
             pl.BlockSpec((1, 1), lambda i: (0, 0)),            # dlogsf2 acc
         ],
@@ -361,18 +385,19 @@ def _psi_fused_bwd(tile, interpret, res, cots):
             jax.ShapeDtypeStruct((npad, qp), dtype),
             jax.ShapeDtypeStruct((npad, d), dtype),
             jax.ShapeDtypeStruct((mp, qp), dtype),
+            jax.ShapeDtypeStruct((qp, mp), dtype),
             jax.ShapeDtypeStruct((1, qp), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ],
         interpret=interpret,
     )(mu_p, s_p, yw_p, w_p.reshape(-1, 1), z_p, z2_p, alpha_row, logsf2,
-      dp1y_p, dp2_p)
+      dp1y_p, dp2_p, zhi_t, zlo_t)
 
     # sf2 entered the kernel as log(sf2); chain that scalar transform here.
     dmu = dmu[:n]
     ds = ds[:n]
     dyw = dyw[:n]
-    dz_total = dz[:m]
+    dz_total = dz[:m] + dzt.T[:m]
     dalpha_total = dalpha.reshape(qp).astype(alpha.dtype)
     dsf2 = (dlogsf2[0, 0] / sf2).astype(jnp.asarray(sf2).dtype)
     dw = jnp.zeros_like(w_arr)  # weights treated as non-differentiable data
