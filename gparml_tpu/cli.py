@@ -71,7 +71,7 @@ def run(options) -> dict:
     import jax.numpy as jnp
 
     from gparml_tpu import checkpoint, data
-    from gparml_tpu.models import gplvm, params as P
+    from gparml_tpu.models import gplvm, params as P, sgpr
     from gparml_tpu.opt import scg
     from gparml_tpu.parallel import mesh as mesh_lib
     from gparml_tpu.utils import logging as glog
@@ -102,6 +102,56 @@ def run(options) -> dict:
     timer.start("init")
     key = jax.random.key(options.seed)
 
+    # ---- sparse-GP-regression mode (reference --fixed_embeddings with
+    # observed inputs: s = 0, psi stats collapse to kernel products) ----
+    if options.fixed_embeddings:
+        x_np, _ = data.load_embeddings(options.embeddings)
+        if x_np.shape[0] != n:
+            raise ValueError(
+                f"embeddings rows {x_np.shape[0]} != N={n}; --fixed-embeddings "
+                "needs observed inputs in the embeddings folder"
+            )
+        x = jnp.asarray(x_np, dtype)
+        y = jnp.asarray(y_np, dtype)
+        scfg = sgpr.SGPRConfig(
+            num_inducing=options.m, bijector=options.bijector,
+            block=options.block, fixed_beta=options.fixed_beta,
+        )
+        g0 = sgpr.init_params(key, x, y, scfg)
+        weights = None
+        if mesh is not None:
+            y, x, weights = mesh_lib.shard_data(mesh, y_np, x_np)
+        timer.stop("init")
+        timer.start("fit")
+        scg_options = scg.SCGOptions(max_iters=options.iterations, display=options.display)
+        result = sgpr.fit(
+            g0, x, y, scfg, iters=options.iterations,
+            optimizer=options.optimizer, learning_rate=options.learning_rate,
+            scg_options=scg_options if options.optimizer == "scg" else None,
+            mesh=mesh, weights=weights,
+        )
+        timer.stop("fit")
+        summary = {
+            "mode": "sgpr", "n": n, "d": d, "m": options.m,
+            "optimizer": options.optimizer, "iterations": options.iterations,
+            "n_evals": int(result.n_evals), "final_bound": float(result.bound),
+            "devices": len(jax.devices()), "parallel": options.parallel,
+            "wall_time_s": round(time.perf_counter() - t_start, 3),
+        }
+        if options.statistics:
+            os.makedirs(options.statistics, exist_ok=True)
+            glog.write_history(
+                os.path.join(options.statistics, "bound_history.jsonl"), result.history
+            )
+            checkpoint.save(
+                os.path.join(options.statistics, "checkpoint.npz"), result.params,
+                meta={"iteration": options.iterations, "bound": float(result.bound)},
+            )
+            with open(os.path.join(options.statistics, "summary.json"), "w") as f:
+                json.dump(summary, f, indent=2)
+        print(json.dumps(summary))
+        return summary
+
     # ---- model + params ----
     cfg = gplvm.GPLVMConfig(
         q=options.q,
@@ -110,7 +160,6 @@ def run(options) -> dict:
         block=options.block,
         stats_impl=options.stats_impl,
         init=options.init,
-        fixed_embeddings=options.fixed_embeddings,
         fixed_beta=options.fixed_beta,
     )
     y = jnp.asarray(y_np, dtype)

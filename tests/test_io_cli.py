@@ -89,3 +89,24 @@ def test_cli_adam_and_fixed_beta(tmp_path, rng):
         "--optimizer", "adam", "--fixed-beta",
     ])
     assert np.isfinite(summary["final_bound"])
+
+
+def test_cli_fixed_embeddings_sgpr_mode(tmp_path, rng):
+    """--fixed-embeddings: embeddings folder holds OBSERVED inputs; the CLI
+    runs sparse GP regression (reference §3.2)."""
+    from gparml_tpu import cli
+
+    x = np.sort(rng.uniform(-2, 2, (60, 1)), axis=0)
+    y = np.sin(2 * x) + 0.1 * rng.standard_normal((60, 1))
+    inputs = tmp_path / "inputs"
+    emb = tmp_path / "emb"
+    data.save_partitioned(str(inputs), y, 2, prefix="Y")
+    data.save_embeddings(str(emb), x, np.full_like(x, 1e-6), n_partitions=2)
+
+    summary = cli.main([
+        "-i", str(inputs), "-e", str(emb), "-s", str(tmp_path / "st"),
+        "-T", "30", "-q", "1", "-m", "8", "--fixed-embeddings",
+        "--dtype", "float64",
+    ])
+    assert summary["mode"] == "sgpr"
+    assert np.isfinite(summary["final_bound"])
