@@ -25,8 +25,6 @@ import argparse
 import json
 import os
 import time
-from typing import Optional
-
 import numpy as np
 
 

@@ -11,7 +11,7 @@ operate on the whole pytree uniformly.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

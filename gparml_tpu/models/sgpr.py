@@ -6,7 +6,7 @@ parameter vector holds only globals (Z, kernel hypers, noise precision)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
 import jax

@@ -30,12 +30,9 @@ Padding contract (all exact):
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from gparml_tpu.ops.precise import _comp_dg, compensated_dot
 from gparml_tpu.ops.psi import SufficientStats, kl_qp

@@ -10,7 +10,7 @@ across hosts (same code path — the mesh just spans more devices).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
