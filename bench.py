@@ -54,7 +54,7 @@ def main():
 
     def measure(impl: str) -> float:
         cfg = gplvm.GPLVMConfig(
-            q=q, num_inducing=m, block=4000, stats_impl=impl, pallas_tile=16
+            q=q, num_inducing=m, block=4000, stats_impl=impl, pallas_tile=32
         )
 
         @jax.jit

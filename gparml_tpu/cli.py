@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume: load existing embeddings (and checkpoint if present)")
     p.add_argument("--optimizer", choices=["scg", "adam", "gd"], default="scg")
     p.add_argument("--learning-rate", type=float, default=1e-2)
-    p.add_argument("--stats-impl", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--stats-impl", choices=["auto", "xla", "pallas"], default="auto")
     p.add_argument("--block", type=int, default=None,
                    help="N-block size for the scanned psi path (memory bound)")
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")

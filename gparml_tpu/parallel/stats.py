@@ -31,6 +31,10 @@ from gparml_tpu.parallel.mesh import DATA_AXIS
 
 
 def _local_stats(y, mu, s, z, sf2, alpha, block, weights, impl, tile):
+    if impl == "auto":
+        # fused kernel on TPU; XLA scan elsewhere (Pallas would run in the
+        # slow interpreter off-TPU)
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas" and s is not None:
         return psi_pallas.suff_stats(y, mu, s, z, sf2, alpha, weights=weights, tile=tile)
     return psi.suff_stats(y, mu, s, z, sf2, alpha, block=block, weights=weights)

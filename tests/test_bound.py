@@ -97,3 +97,32 @@ def test_predict_recovers_function(rng):
     mean, var = bound.predict(jnp.asarray(x), st, jnp.asarray(z), sf2, jnp.asarray(alpha), beta)
     np.testing.assert_allclose(mean, y, atol=2e-2)
     assert np.all(np.asarray(var) > 0)
+
+
+def test_predict_uncertain_matches_monte_carlo(rng):
+    """bound.predict_uncertain (GPLVM reconstruction through Psi1
+    expectations) vs Monte-Carlo integration of bound.predict over q(x*)."""
+    from gparml_tpu.ops import bound, psi
+
+    n, d, q, m = 60, 2, 2, 12
+    x = rng.standard_normal((n, q))
+    y = np.tanh(x @ rng.standard_normal((q, d)))
+    z = rng.standard_normal((m, q))
+    sf2, beta = 1.0, 50.0
+    alpha = np.ones(q)
+    st = psi.suff_stats(jnp.asarray(y), jnp.asarray(x), None, jnp.asarray(z), sf2, jnp.asarray(alpha))
+
+    mu_star = rng.standard_normal((3, q))
+    s_star = np.full((3, q), 0.3)
+    mean_u, var_u = bound.predict_uncertain(
+        jnp.asarray(mu_star), jnp.asarray(s_star), st, jnp.asarray(z), sf2, jnp.asarray(alpha), beta
+    )
+
+    # Monte Carlo: sample x* ~ q, average the certain-input predictive mean
+    k = 4000
+    eps = rng.standard_normal((k, 3, q))
+    xs = (mu_star[None] + np.sqrt(s_star)[None] * eps).reshape(k * 3, q)
+    mc_mean, _ = bound.predict(jnp.asarray(xs), st, jnp.asarray(z), sf2, jnp.asarray(alpha), beta)
+    mc_mean = np.asarray(mc_mean).reshape(k, 3, d).mean(0)
+    np.testing.assert_allclose(np.asarray(mean_u), mc_mean, atol=0.02)
+    assert np.all(np.asarray(var_u) > 1.0 / beta - 1e-9)
