@@ -148,7 +148,7 @@ def _fwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
 def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
                 alpha_ref, logsf2_ref, dp1y_ref, dp2s_ref, zhiT_ref, zloT_ref,
                 dmu_ref, ds_ref, dyw_ref, dz_ref, dzt_ref, dalpha_ref,
-                dlogsf2_ref, *, m_real: int):
+                dlogsf2_ref, *, m_real: int, split_h: bool = True):
     """Hand-fused backward: one pass over the (TN, Mp, Mp) tensor.
 
     With E_n = exp(lp_n) (symmetric) and dp2s the SYMMETRIZED Psi2 cotangent
@@ -206,16 +206,24 @@ def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
     # hi/lo splits (backend-independent): only z_lo@G_lo (~(0.4%)^2 of G) is
     # dropped — negligible in a gradient.
     kk = qp + 1
-    g_hi = g2.astype(jnp.bfloat16).astype(f32)
-    g_lo = g2 - g_hi
-    hxt = (
-        jax.lax.dot_general(zhiT_ref[:], g_hi, (((1,), (1,)), ((), ())),
-                            preferred_element_type=f32)
-        + jax.lax.dot_general(zloT_ref[:], g_hi, (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32)
-        + jax.lax.dot_general(zhiT_ref[:], g_lo, (((1,), (1,)), ((), ())),
-                              preferred_element_type=f32)
-    )                                                             # (Qp+1, TN*Mp)
+    if split_h:
+        g_hi = g2.astype(jnp.bfloat16).astype(f32)
+        g_lo = g2 - g_hi
+        hxt = (
+            jax.lax.dot_general(zhiT_ref[:], g_hi, (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+            + jax.lax.dot_general(zloT_ref[:], g_hi, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+            + jax.lax.dot_general(zhiT_ref[:], g_lo, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+        )                                                         # (Qp+1, TN*Mp)
+    else:
+        # low-VMEM variant for large M: no g_hi/g_lo buffers, one HIGHEST dot
+        zext_t = zhiT_ref[:] + zloT_ref[:]
+        hxt = jax.lax.dot_general(
+            zext_t, g2, (((1,), (1,)), ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     h3 = hxt.reshape(kk, tn, mp)
 
     dvpp = 2.0 * h3[qp]                                           # (TN, Mp)
@@ -278,10 +286,18 @@ def psi_fused(mu, s, z, sf2, alpha, yw, w_arr, tile: int = 16,
     return out
 
 
+def _fit_tile(tile: int, mp: int, budget_elems: int) -> int:
+    """Cap the N-tile so the (TN, Mp, Mp) VMEM working set stays on-chip for
+    any M (the 16MB VMEM that fits TN=32 at Mp=256 only fits TN=8 at 512)."""
+    return max(2, min(tile, budget_elems // (mp * mp)))
+
+
 def _call_fwd(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret):
     d = yw.shape[1]
     m = z.shape[0]
     dtype = mu.dtype
+    mp_probe = _round_up(max(m, 128), 128)
+    tile = _fit_tile(tile, mp_probe, 32 * 256 * 256)
     mu_p, s_p, yw_p, w_p, z_p, npad, qp, mp = _pad_inputs(mu, s, yw, w_arr, z, tile)
     z2_p = z_p * z_p
     alpha_row = alpha.reshape(1, qp).astype(dtype)
@@ -350,7 +366,7 @@ def _psi_fused_bwd(tile, interpret, res, cots):
     zhi_t = zext_hi.T                                     # (Qp+1, Mp)
     zlo_t = (zext - zext_hi).T
 
-    kernel = functools.partial(_bwd_kernel, m_real=m)
+    kernel = functools.partial(_bwd_kernel, m_real=m, split_h=(mp <= 256))
     dmu, ds, dyw, dz, dzt, dalpha, dlogsf2 = pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -131,3 +131,23 @@ def test_pallas_stats_inside_shard_map(rng):
     for a, b in zip(gp, gx):
         b = np.asarray(b)
         np.testing.assert_allclose(np.asarray(a), b, atol=3e-4 * max(np.abs(b).max(), 1e-9), rtol=1e-3)
+
+
+def test_forward_backward_parity_large_m(rng):
+    """M > 256 exercises the low-VMEM backward variant (single HIGHEST dot)."""
+    y, mu, s, z, sf2, alpha = _inputs(rng, n=12, d=2, q=2, m=300)
+
+    def obj(fn):
+        def f(mu, s, z):
+            st = fn(y, mu, s, z, sf2, alpha)
+            return jnp.sum(st.psi2) * 0.1 + jnp.sum(st.psi1_y)
+        return jax.value_and_grad(f, argnums=(0, 1, 2))(mu, s, z)
+
+    fr, gr = obj(lambda *a: psi.suff_stats(*a))
+    fp, gp = obj(lambda *a: psi_pallas.suff_stats(*a, tile=8, interpret=True))
+    np.testing.assert_allclose(float(fp), float(fr), rtol=1e-4)
+    for a, b in zip(gp, gr):
+        b = np.asarray(b)
+        np.testing.assert_allclose(
+            np.asarray(a), b, atol=3e-4 * max(np.abs(b).max(), 1e-9), rtol=1e-3
+        )
