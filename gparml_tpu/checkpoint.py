@@ -75,5 +75,11 @@ def load(path: str, like) -> Tuple[Any, Dict[str, Any]]:
             raise KeyError(
                 f"checkpoint {path} is missing leaf {key!r}; has {sorted(arrays)}"
             )
-        new_leaves.append(arrays[key])
+        arr = arrays[key]
+        if hasattr(leaf, "shape") and tuple(arr.shape) != tuple(leaf.shape):
+            raise ValueError(
+                f"checkpoint {path} leaf {key!r} has shape {arr.shape}, "
+                f"expected {tuple(leaf.shape)} — wrong N/Q/M configuration?"
+            )
+        new_leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, new_leaves), meta

@@ -234,8 +234,17 @@ def run(options) -> dict:
         glog.write_history(
             os.path.join(options.statistics, "bound_history.jsonl"), result.history
         )
+        # Checkpoint UNPADDED latents: the mesh pads N to a device-count
+        # multiple, and a resume may run on a different device count.
+        lat_trim = P.LatentParams(
+            mu=np.asarray(result.params.lat.mu)[:n],
+            u_s=np.asarray(result.params.lat.u_s)[:n],
+        )
+        ckpt_params = P.GPLVMParams(
+            glob=jax.tree.map(np.asarray, result.params.glob), lat=lat_trim
+        )
         checkpoint.save(
-            ckpt_path, result.params,
+            ckpt_path, ckpt_params,
             meta={"iteration": options.iterations, "bound": final_bound,
                   "config": {k: v for k, v in vars(options).items()
                              if isinstance(v, (int, float, str, bool, type(None)))}},

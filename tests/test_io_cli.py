@@ -110,3 +110,22 @@ def test_cli_fixed_embeddings_sgpr_mode(tmp_path, rng):
     ])
     assert summary["mode"] == "sgpr"
     assert np.isfinite(summary["final_bound"])
+
+
+def test_cli_resume_uneven_n(tmp_path, rng):
+    """N not divisible by the device count: the mesh pads latents, but
+    checkpoints must store unpadded shapes so resume works anywhere."""
+    from gparml_tpu import cli
+
+    y, _ = data.synthetic_gplvm(n=43, d=4, q_true=1, seed=3)  # 43 % 8 != 0
+    inputs = tmp_path / "inputs"
+    data.save_partitioned(str(inputs), y, 3, prefix="Y")
+    argv = [
+        "-i", str(inputs), "-e", str(tmp_path / "emb"), "-s", str(tmp_path / "st"),
+        "-T", "8", "-q", "2", "-m", "5",
+    ]
+    s1 = cli.main(argv)
+    with np.load(tmp_path / "st" / "checkpoint.npz") as f:
+        assert f["lat/mu"].shape == (43, 2)
+    s2 = cli.main(argv + ["--load"])
+    assert np.isfinite(s2["final_bound"])
