@@ -19,7 +19,6 @@ the identity broadcast), so jax.grad of the distributed bound is exact.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
