@@ -103,6 +103,24 @@ def neg_bound_value_and_grad(p, y, config: GPLVMConfig, mask=None, mesh=None, we
     return f, grad
 
 
+def _check(p: P.GPLVMParams, y, config: GPLVMConfig):
+    if y.ndim != 2:
+        raise ValueError(f"Y must be (N, D); got {y.shape}")
+    n, q = p.lat.mu.shape
+    if y.shape[0] != n:
+        raise ValueError(
+            f"Y has N={y.shape[0]} rows but latents have N={n} "
+            "(shard_data pads both together; pass matching arrays)"
+        )
+    if q != config.q:
+        raise ValueError(f"latents have Q={q} but config.q={config.q}")
+    if p.glob.z.shape != (config.num_inducing, config.q):
+        raise ValueError(
+            f"Z has shape {p.glob.z.shape}, expected "
+            f"({config.num_inducing}, {config.q})"
+        )
+
+
 def fit(
     p0: P.GPLVMParams,
     y: jnp.ndarray,
@@ -114,6 +132,7 @@ def fit(
     mesh=None,
     weights=None,
 ) -> FitResult:
+    _check(p0, y, config)
     mask = P.grad_mask(
         p0,
         fixed_beta=config.fixed_beta,

@@ -110,6 +110,12 @@ def fit(
 ) -> FitResult:
     """Maximize the bound with SCG (default, matching the reference) or an
     optax rule. The whole optimization is one jit'd computation."""
+    if y.ndim != 2 or x.ndim != 2:
+        raise ValueError(f"X, Y must be 2-D; got {x.shape}, {y.shape}")
+    if x.shape[0] != y.shape[0]:
+        raise ValueError(f"X has N={x.shape[0]} rows but Y has N={y.shape[0]}")
+    if g0.z.shape[1] != x.shape[1]:
+        raise ValueError(f"Z dim {g0.z.shape[1]} != X dim {x.shape[1]}")
     mask = P.grad_mask(
         g0, fixed_beta=config.fixed_beta, fixed_z=config.fixed_z,
         fixed_hypers=config.fixed_hypers,

@@ -115,3 +115,16 @@ def test_gplvm_infer_latents_and_reconstruct():
     baseline = float(np.sqrt(np.mean(np.asarray(y_te) ** 2)))  # mean-zero data
     assert rmse < 0.5 * baseline
     assert np.all(np.asarray(var) > 0)
+
+
+def test_fit_shape_validation():
+    rng = np.random.default_rng(9)
+    y = jnp.asarray(rng.standard_normal((20, 3)))
+    cfg = gplvm.GPLVMConfig(q=2, num_inducing=5)
+    p0 = gplvm.init_params(jax.random.key(0), y, cfg)
+    import pytest
+    with pytest.raises(ValueError, match="N="):
+        gplvm.fit(p0, y[:10], cfg, iters=1)
+    with pytest.raises(ValueError, match="config.q"):
+        bad = gplvm.GPLVMConfig(q=3, num_inducing=5)
+        gplvm.fit(p0, y, bad, iters=1)
