@@ -9,8 +9,8 @@ optimizer, and a fused Pallas kernel for the psi-statistics hot loop.
 __version__ = "0.1.0"
 
 from gparml_tpu import checkpoint, data
-from gparml_tpu.models import gplvm, sgpr
+from gparml_tpu.models import gplvm, sgpr, svgp
 from gparml_tpu.models import params
 from gparml_tpu.opt import scg
 
-__all__ = ["checkpoint", "data", "gplvm", "sgpr", "params", "scg", "__version__"]
+__all__ = ["checkpoint", "data", "gplvm", "sgpr", "svgp", "params", "scg", "__version__"]

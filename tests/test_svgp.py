@@ -1,0 +1,72 @@
+"""SVGP (uncollapsed, minibatch) tests: ELBO lower-bounds the collapsed
+bound, training recovers the function, predictions agree with the collapsed
+SGPR at convergence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gparml_tpu import data
+from gparml_tpu.models import params as P
+from gparml_tpu.models import sgpr, svgp
+
+
+def _problem(rng, n=400):
+    x = np.sort(rng.uniform(-3, 3, (n, 1)), axis=0)
+    y = np.sin(2.0 * x) + 0.15 * rng.standard_normal((n, 1))
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_elbo_below_collapsed_bound(rng):
+    """For shared (Z, hypers), the uncollapsed ELBO is <= the collapsed bound
+    (the collapsed bound optimizes q(u) analytically)."""
+    x, y = _problem(rng, n=120)
+    cfg_c = sgpr.SGPRConfig(num_inducing=10)
+    g0 = sgpr.init_params(jax.random.key(0), x, y, cfg_c)
+    collapsed = float(sgpr.log_bound(g0, x, y, cfg_c))
+
+    cfg_s = svgp.SVGPConfig(
+        num_inducing=10, batch_size=120,
+        fixed_beta=True, fixed_z=True, fixed_hypers=True,  # freeze globals
+    )
+    p0 = svgp.init_params(jax.random.key(0), x, y, cfg_s)
+    p0 = p0._replace(glob=g0)  # identical globals
+    res = svgp.fit(p0, x, y, cfg_s, steps=2500, learning_rate=5e-2,
+                   key=jax.random.key(1))
+    assert np.allclose(np.asarray(res.params.glob.z), np.asarray(g0.z))
+    val = float(svgp.elbo(res.params, x, y, x.shape[0], cfg_s))
+    assert val <= collapsed + 1e-3
+    assert val >= collapsed - 0.15 * abs(collapsed) - 5.0  # and not far below
+
+
+def test_svgp_minibatch_training_recovers_function(rng):
+    x, y = _problem(rng, n=2000)
+    cfg = svgp.SVGPConfig(num_inducing=15, batch_size=256)
+    p0 = svgp.init_params(jax.random.key(0), x, y, cfg)
+    res = svgp.fit(p0, x, y, cfg, steps=1200, learning_rate=2e-2)
+
+    xs = jnp.linspace(-3, 3, 100)[:, None]
+    mean, var = svgp.predict(res.params, xs, cfg)
+    truth = np.sin(2.0 * np.asarray(xs))
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)))
+    assert rmse < 0.1
+    assert np.all(np.asarray(var) > 0)
+    _, _, _, beta = P.constrain(res.params.glob)
+    assert 10.0 < float(beta) < 120.0  # noise std 0.15 -> beta ~ 44
+
+
+def test_svgp_matches_collapsed_predictions(rng):
+    """After joint convergence, SVGP predictions track the collapsed SGPR fit
+    on the same data (both near the exact posterior)."""
+    x, y = _problem(rng, n=500)
+    ccfg = sgpr.SGPRConfig(num_inducing=12)
+    g0 = sgpr.init_params(jax.random.key(2), x, y, ccfg)
+    cres = sgpr.fit(g0, x, y, ccfg, iters=150)
+    xs = jnp.linspace(-2.8, 2.8, 50)[:, None]
+    cmean, _ = sgpr.predict(cres.params, x, y, xs, ccfg)
+
+    scfg = svgp.SVGPConfig(num_inducing=12, batch_size=500)
+    p0 = svgp.init_params(jax.random.key(2), x, y, scfg)
+    sres = svgp.fit(p0, x, y, scfg, steps=2500, learning_rate=2e-2)
+    smean, _ = svgp.predict(sres.params, xs, scfg)
+    np.testing.assert_allclose(np.asarray(smean), np.asarray(cmean), atol=0.08)
