@@ -90,18 +90,23 @@ def elbo(
 
     kmm = ard_rbf.kmm(z, sf2, alpha, jitter=config.jitter)
     lm = jnp.linalg.cholesky(kmm)
+    # One M x M triangular inversion, then everything B-sized rides the MXU
+    # (TPU triangular solves are latency-bound sequential ops; with B >> M it
+    # is far cheaper to materialize Lm^-1 once).
+    lm_inv = solve_triangular(lm, jnp.eye(m, dtype=x.dtype), lower=True)
     knm = ard_rbf.k(x, z, sf2, alpha)                  # (B, M)
-    a = solve_triangular(lm, knm.T, lower=True)        # (M, B): Lm^-1 Kmn
+    a = jnp.matmul(lm_inv, knm.T, precision="highest")  # (M, B): Lm^-1 Kmn
     # predictive pieces under q(u)
     mean = jnp.matmul(
-        a.T, solve_triangular(lm, p.q_mu, lower=True), precision="highest"
+        a.T, jnp.matmul(lm_inv, p.q_mu, precision="highest"),
+        precision="highest",
     )                                                  # (B, D)
     knn = ard_rbf.k_diag(x, sf2)                       # (B,)
     qnn = jnp.sum(a * a, axis=0)                       # (B,)
     ls = _tril(p.q_sqrt)                               # (D, M, M)
     # var from q(u): || L_d^T Lm^-T a_n ||^2 per (n, d)
     proj = jnp.einsum(
-        "dmk,mb->dkb", ls, solve_triangular(lm, a, lower=True, trans=1),
+        "dmk,mb->dkb", ls, jnp.matmul(lm_inv.T, a, precision="highest"),
         precision="highest",
     )                                                  # (D, M, B)
     var_q = jnp.sum(proj * proj, axis=1).T             # (B, D)
@@ -116,8 +121,8 @@ def elbo(
     )
 
     # KL(q(u_d) || N(0, Kmm)) summed over d
-    lm_inv_mu = solve_triangular(lm, p.q_mu, lower=True)          # (M, D)
-    lm_inv_ls = jax.vmap(lambda l: solve_triangular(lm, l, lower=True))(ls)
+    lm_inv_mu = jnp.matmul(lm_inv, p.q_mu, precision="highest")   # (M, D)
+    lm_inv_ls = jnp.einsum("mk,dkj->dmj", lm_inv, ls, precision="highest")
     tr = jnp.sum(lm_inv_ls * lm_inv_ls)
     quad = jnp.sum(lm_inv_mu * lm_inv_mu)
     diag_ls = jnp.abs(jnp.diagonal(ls, axis1=1, axis2=2)) + 1e-20
@@ -148,11 +153,18 @@ def fit(
         p0.glob, fixed_beta=config.fixed_beta, fixed_z=config.fixed_z,
         fixed_hypers=config.fixed_hypers,
     )
+    # Pre-shuffle once; each step takes a random CONTIGUOUS window (a
+    # dynamic_slice, far cheaper on TPU than an N-sized gather per step).
+    key, kshuf = jax.random.split(key)
+    perm = jax.random.permutation(kshuf, n)
+    x = x[perm]
+    y = y[perm]
 
     def step(carry, k):
         p, opt_state = carry
-        idx = jax.random.randint(k, (b,), 0, n)
-        xb, yb = x[idx], y[idx]
+        start = jax.random.randint(k, (), 0, n - b + 1)
+        xb = jax.lax.dynamic_slice_in_dim(x, start, b)
+        yb = jax.lax.dynamic_slice_in_dim(y, start, b)
         val, g = jax.value_and_grad(lambda pp: -elbo(pp, xb, yb, n, config))(p)
         g = p._replace(glob=P.apply_mask(g.glob, mask), q_mu=g.q_mu, q_sqrt=g.q_sqrt)
         updates, opt_state = opt.update(g, opt_state, p)
@@ -176,15 +188,17 @@ def predict(p: SVGPParams, x_star, config: SVGPConfig):
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
     kmm = ard_rbf.kmm(z, sf2, alpha, jitter=config.jitter)
     lm = jnp.linalg.cholesky(kmm)
+    m = z.shape[0]
+    lm_inv = solve_triangular(lm, jnp.eye(m, dtype=lm.dtype), lower=True)
     knm = ard_rbf.k(x_star, z, sf2, alpha)
-    a = solve_triangular(lm, knm.T, lower=True)
-    mean = jnp.matmul(a.T, solve_triangular(lm, p.q_mu, lower=True),
+    a = jnp.matmul(lm_inv, knm.T, precision="highest")
+    mean = jnp.matmul(a.T, jnp.matmul(lm_inv, p.q_mu, precision="highest"),
                       precision="highest")
     knn = ard_rbf.k_diag(x_star, sf2)
     qnn = jnp.sum(a * a, axis=0)
     ls = _tril(p.q_sqrt)
     proj = jnp.einsum(
-        "dmk,mb->dkb", ls, solve_triangular(lm, a, lower=True, trans=1),
+        "dmk,mb->dkb", ls, jnp.matmul(lm_inv.T, a, precision="highest"),
         precision="highest",
     )
     var_q = jnp.sum(proj * proj, axis=1).T
