@@ -46,7 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init", choices=["pca", "random"], default="pca")
     p.add_argument("--load", action="store_true",
                    help="resume: load existing embeddings (and checkpoint if present)")
-    p.add_argument("--optimizer", choices=["scg", "adam", "gd"], default="scg")
+    p.add_argument("--optimizer", choices=["scg", "adam", "gd", "svgp"], default="scg")
+    p.add_argument("--batch-size", type=int, default=4096,
+                   help="minibatch size for --fixed-embeddings --optimizer svgp mode")
     p.add_argument("--learning-rate", type=float, default=1e-2)
     p.add_argument("--stats-impl", choices=["auto", "xla", "pallas"], default="auto")
     p.add_argument("--block", type=int, default=None,
@@ -111,6 +113,41 @@ def run(options) -> dict:
             )
         x = jnp.asarray(x_np, dtype)
         y = jnp.asarray(y_np, dtype)
+        if options.optimizer == "svgp":
+            from gparml_tpu.models import svgp as svgp_mod
+
+            vcfg = svgp_mod.SVGPConfig(
+                num_inducing=options.m, bijector=options.bijector,
+                batch_size=options.batch_size, fixed_beta=options.fixed_beta,
+            )
+            v0 = svgp_mod.init_params(jax.random.key(options.seed), x, y, vcfg)
+            timer.stop("init")
+            timer.start("fit")
+            vres = svgp_mod.fit(v0, x, y, vcfg, steps=options.iterations,
+                                learning_rate=options.learning_rate)
+            timer.stop("fit")
+            summary = {
+                "mode": "svgp", "n": n, "d": d, "m": options.m,
+                "iterations": options.iterations, "batch_size": vcfg.batch_size,
+                "final_elbo": float(vres.elbo), "devices": len(jax.devices()),
+                "wall_time_s": round(time.perf_counter() - t_start, 3),
+            }
+            if options.statistics:
+                os.makedirs(options.statistics, exist_ok=True)
+                glog.write_history(
+                    os.path.join(options.statistics, "elbo_history.jsonl"),
+                    vres.history,
+                )
+                checkpoint.save(
+                    os.path.join(options.statistics, "checkpoint.npz"),
+                    vres.params,
+                    meta={"iteration": options.iterations,
+                          "bound": float(vres.elbo)},
+                )
+                with open(os.path.join(options.statistics, "summary.json"), "w") as f:
+                    json.dump(summary, f, indent=2)
+            print(json.dumps(summary))
+            return summary
         scfg = sgpr.SGPRConfig(
             num_inducing=options.m, bijector=options.bijector,
             block=options.block, fixed_beta=options.fixed_beta,

@@ -129,3 +129,22 @@ def test_cli_resume_uneven_n(tmp_path, rng):
         assert f["lat/mu"].shape == (43, 2)
     s2 = cli.main(argv + ["--load"])
     assert np.isfinite(s2["final_bound"])
+
+
+def test_cli_svgp_mode(tmp_path, rng):
+    """--fixed-embeddings --optimizer svgp: minibatch stochastic training."""
+    from gparml_tpu import cli
+
+    x = rng.uniform(-2, 2, (200, 1))
+    y = np.sin(2 * x) + 0.1 * rng.standard_normal((200, 1))
+    inputs = tmp_path / "inputs"
+    emb = tmp_path / "emb"
+    data.save_partitioned(str(inputs), y, 2, prefix="Y")
+    data.save_embeddings(str(emb), x, np.full_like(x, 1e-6), n_partitions=2)
+    summary = cli.main([
+        "-i", str(inputs), "-e", str(emb), "-s", str(tmp_path / "st"),
+        "-T", "200", "-q", "1", "-m", "10", "--fixed-embeddings",
+        "--optimizer", "svgp", "--batch-size", "64", "--learning-rate", "0.05",
+    ])
+    assert summary["mode"] == "svgp"
+    assert np.isfinite(summary["final_elbo"])
