@@ -126,3 +126,20 @@ def test_predict_uncertain_matches_monte_carlo(rng):
     mc_mean = np.asarray(mc_mean).reshape(k, 3, d).mean(0)
     np.testing.assert_allclose(np.asarray(mean_u), mc_mean, atol=0.02)
     assert np.all(np.asarray(var_u) > 1.0 / beta - 1e-9)
+
+
+def test_bound_invariant_to_inducing_permutation(rng):
+    """Permuting the rows of Z must leave the bound exactly invariant (the
+    math only sees the set of inducing points)."""
+    y, mu, s, z, sf2, alpha, beta = make_problem(rng)
+    perm = rng.permutation(z.shape[0])
+
+    def f(zz):
+        st = psi.suff_stats(
+            jnp.asarray(y), jnp.asarray(mu), jnp.asarray(s), zz, sf2, jnp.asarray(alpha)
+        )
+        return bound.bound_from_stats(st, zz, sf2, jnp.asarray(alpha), beta, d=y.shape[1])
+
+    np.testing.assert_allclose(
+        float(f(jnp.asarray(z))), float(f(jnp.asarray(z[perm]))), rtol=1e-10
+    )

@@ -97,3 +97,37 @@ def test_sgpr_mode_sharded(rng):
     )
     for a, b in zip(ref, st):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
+
+
+def test_blocked_scan_inside_shard_map(rng):
+    """block (remat scan) composed with shard_map matches the dense path."""
+    y, mu, s, z, sf2, alpha, beta = make_problem(rng, n=64, d=3, q=2, m=5)
+    ref = psi.suff_stats(
+        jnp.asarray(y), jnp.asarray(mu), jnp.asarray(s), jnp.asarray(z), sf2, jnp.asarray(alpha)
+    )
+    m8 = mesh_lib.make_mesh(8)
+    ys, mus, ss, w = mesh_lib.shard_data(m8, y, mu, s)
+    st = pstats.suff_stats_sharded(
+        ys, mus, ss, jnp.asarray(z), sf2, jnp.asarray(alpha),
+        mesh=m8, weights=w, block=4,
+    )
+    for a, b in zip(ref, st):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-10)
+
+
+def test_sgpr_predict_under_mesh(rng):
+    """predict with sharded training data matches the single-device result."""
+    from gparml_tpu.models import sgpr
+
+    x = np.sort(rng.uniform(-2, 2, (40, 1)), axis=0)
+    y = np.sin(2 * x)
+    cfg = sgpr.SGPRConfig(num_inducing=6)
+    g0 = sgpr.init_params(jax.random.key(0), jnp.asarray(x), jnp.asarray(y), cfg)
+    xs = jnp.linspace(-2, 2, 9)[:, None]
+    mean_ref, var_ref = sgpr.predict(g0, jnp.asarray(x), jnp.asarray(y), xs, cfg)
+
+    m8 = mesh_lib.make_mesh(8)
+    ys, xsh, w = mesh_lib.shard_data(m8, y, x)
+    mean, var = sgpr.predict(g0, xsh, ys, xs, cfg, mesh=m8, weights=w)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref), rtol=1e-8)

@@ -151,3 +151,12 @@ def test_forward_backward_parity_large_m(rng):
         np.testing.assert_allclose(
             np.asarray(a), b, atol=3e-4 * max(np.abs(b).max(), 1e-9), rtol=1e-3
         )
+
+
+def test_sgpr_mode_rejected(rng):
+    """The kernel is GPLVM-only (SGPR statistics are plain MXU matmuls)."""
+    import pytest
+
+    y, mu, s, z, sf2, alpha = _inputs(rng, n=8)
+    with pytest.raises(ValueError, match="s=None"):
+        psi_pallas.suff_stats(y, mu, None, z, sf2, alpha, interpret=True)
