@@ -66,7 +66,9 @@ def main():
             print(f"{impl:7s}: {min(ts)*1e3:8.1f} ms / bound+grad eval "
                   f"(~{flops/min(ts)/1e12:.2f} TFLOP/s effective)")
         except Exception as e:
-            print(f"{impl:7s}: failed ({type(e).__name__})")
+            # Pallas requires a real TPU; report the actual failure so users
+            # can tell a missing backend from a genuine kernel bug.
+            print(f"{impl:7s}: failed ({type(e).__name__}: {e})")
 
 
 if __name__ == "__main__":

@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load", action="store_true",
                    help="resume: load existing embeddings (and checkpoint if present)")
     p.add_argument("--optimizer", choices=["scg", "adam", "gd", "svgp"], default="scg")
+    p.add_argument("--xtol", type=float, default=1e-8,
+                   help="SCG: min relative step size before convergence")
+    p.add_argument("--ftol", type=float, default=1e-8,
+                   help="SCG: min relative objective change before convergence")
+    p.add_argument("--gtol", type=float, default=1e-10,
+                   help="SCG: squared gradient norm convergence threshold")
+    p.add_argument("--sigma0", type=float, default=1e-4,
+                   help="SCG: finite-difference curvature probe scale")
     p.add_argument("--batch-size", type=int, default=4096,
                    help="minibatch size for --fixed-embeddings --optimizer svgp mode")
     p.add_argument("--learning-rate", type=float, default=1e-2)
@@ -62,6 +70,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _scg_options(options):
+    """SCGOptions from the option namespace (tolerances optional so run()
+    accepts any object with just the core attributes)."""
+    from gparml_tpu.opt import scg
+
+    defaults = scg.SCGOptions()
+    return scg.SCGOptions(
+        max_iters=options.iterations,
+        display=options.display,
+        xtol=getattr(options, "xtol", defaults.xtol),
+        ftol=getattr(options, "ftol", defaults.ftol),
+        gtol=getattr(options, "gtol", defaults.gtol),
+        sigma0=getattr(options, "sigma0", defaults.sigma0),
+    )
+
+
 def run(options) -> dict:
     """Execute a full training run; returns a summary dict (also written to
     the statistics folder). ``options`` is the parsed argparse namespace (or
@@ -72,7 +96,6 @@ def run(options) -> dict:
 
     from gparml_tpu import checkpoint, data
     from gparml_tpu.models import gplvm, params as P, sgpr
-    from gparml_tpu.opt import scg
     from gparml_tpu.parallel import mesh as mesh_lib
     from gparml_tpu.utils import logging as glog
 
@@ -121,6 +144,13 @@ def run(options) -> dict:
                 batch_size=options.batch_size, fixed_beta=options.fixed_beta,
             )
             v0 = svgp_mod.init_params(jax.random.key(options.seed), x, y, vcfg)
+            if options.load and options.statistics:
+                vckpt = os.path.join(options.statistics, "checkpoint.npz")
+                if os.path.exists(vckpt):
+                    v0, vmeta = checkpoint.load(vckpt, v0)
+                    v0 = jax.tree.map(lambda a: jnp.asarray(a, dtype), v0)
+                    print(f"resumed from {vckpt} "
+                          f"(iteration {vmeta.get('iteration')})")
             timer.stop("init")
             timer.start("fit")
             vres = svgp_mod.fit(v0, x, y, vcfg, steps=options.iterations,
@@ -153,12 +183,20 @@ def run(options) -> dict:
             block=options.block, fixed_beta=options.fixed_beta,
         )
         g0 = sgpr.init_params(key, x, y, scfg)
+        if options.load and options.statistics:
+            sckpt = os.path.join(options.statistics, "checkpoint.npz")
+            if os.path.exists(sckpt):
+                g0, smeta = checkpoint.load(sckpt, g0)
+                g0 = jax.tree.map(lambda a: jnp.asarray(a, dtype), g0)
+                print(f"resumed from {sckpt} (iteration {smeta.get('iteration')})")
         weights = None
         if mesh is not None:
-            y, x, weights = mesh_lib.shard_data(mesh, y_np, x_np)
+            # Shard the dtype-converted arrays (NOT the raw on-disk ones) so
+            # --dtype float64 data and the padding weights match the params.
+            y, x, weights = mesh_lib.shard_data(mesh, np.asarray(y), np.asarray(x))
         timer.stop("init")
         timer.start("fit")
-        scg_options = scg.SCGOptions(max_iters=options.iterations, display=options.display)
+        scg_options = _scg_options(options)
         result = sgpr.fit(
             g0, x, y, scfg, iters=options.iterations,
             optimizer=options.optimizer, learning_rate=options.learning_rate,
@@ -238,7 +276,7 @@ def run(options) -> dict:
 
     # ---- fit ----
     timer.start("fit")
-    scg_options = scg.SCGOptions(max_iters=options.iterations, display=options.display)
+    scg_options = _scg_options(options)
     result = gplvm.fit(
         params, y, cfg,
         iters=options.iterations,

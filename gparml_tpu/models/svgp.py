@@ -78,6 +78,23 @@ def _tril(q_sqrt):
     return jnp.tril(q_sqrt)
 
 
+def extend_for_wraparound(a, b: int):
+    """Append the first ``b`` rows so a contiguous window of length ``b``
+    starting anywhere in [0, n) wraps around the end without a gather."""
+    return jnp.concatenate([a, a[:b]], axis=0)
+
+
+def minibatch_window(a_ext, start, b: int):
+    """Length-``b`` contiguous window of the wraparound-extended array.
+
+    With ``start`` drawn uniformly from {0, ..., n-1}, every one of the n
+    underlying points has inclusion probability exactly b/n — unlike a
+    non-wraparound window (start in {0..n-b}), which includes points near
+    the array ends with probability as low as 1/(n-b+1) vs b/(n-b+1) in the
+    middle (a 64x disparity at n=200, b=64)."""
+    return jax.lax.dynamic_slice_in_dim(a_ext, start, b)
+
+
 def elbo(
     p: SVGPParams, x, y, n_total: int, config: SVGPConfig
 ) -> jnp.ndarray:
@@ -155,16 +172,22 @@ def fit(
     )
     # Pre-shuffle once; each step takes a random CONTIGUOUS window (a
     # dynamic_slice, far cheaper on TPU than an N-sized gather per step).
+    # The window WRAPS AROUND via a one-time b-row extension so that start
+    # can range over all n positions, giving every point inclusion
+    # probability exactly b/n (a non-wraparound window is biased against
+    # the array ends — see minibatch_window).
     key, kshuf = jax.random.split(key)
     perm = jax.random.permutation(kshuf, n)
     x = x[perm]
     y = y[perm]
+    x_ext = extend_for_wraparound(x, b)
+    y_ext = extend_for_wraparound(y, b)
 
     def step(carry, k):
         p, opt_state = carry
-        start = jax.random.randint(k, (), 0, n - b + 1)
-        xb = jax.lax.dynamic_slice_in_dim(x, start, b)
-        yb = jax.lax.dynamic_slice_in_dim(y, start, b)
+        start = jax.random.randint(k, (), 0, n)
+        xb = minibatch_window(x_ext, start, b)
+        yb = minibatch_window(y_ext, start, b)
         val, g = jax.value_and_grad(lambda pp: -elbo(pp, xb, yb, n, config))(p)
         g = p._replace(glob=P.apply_mask(g.glob, mask), q_mu=g.q_mu, q_sqrt=g.q_sqrt)
         updates, opt_state = opt.update(g, opt_state, p)

@@ -131,6 +131,55 @@ def test_cli_resume_uneven_n(tmp_path, rng):
     assert np.isfinite(s2["final_bound"])
 
 
+def test_cli_sgpr_resume(tmp_path, rng):
+    """--fixed-embeddings + --load must restore globals from checkpoint.npz
+    (round-1 gap: --load was silently ignored outside the GPLVM branch)."""
+    from gparml_tpu import cli
+
+    x = np.sort(rng.uniform(-2, 2, (60, 1)), axis=0)
+    y = np.sin(2 * x) + 0.1 * rng.standard_normal((60, 1))
+    inputs = tmp_path / "inputs"
+    emb = tmp_path / "emb"
+    stats = tmp_path / "st"
+    data.save_partitioned(str(inputs), y, 2, prefix="Y")
+    data.save_embeddings(str(emb), x, np.full_like(x, 1e-6), n_partitions=2)
+    argv = [
+        "-i", str(inputs), "-e", str(emb), "-s", str(stats),
+        "-T", "25", "-q", "1", "-m", "8", "--fixed-embeddings",
+    ]
+    s1 = cli.main(argv)
+    s2 = cli.main(argv + ["--load", "-T", "5"])
+    # 5 iterations from the restored optimum stay at (or improve on) the
+    # 25-iteration bound; from scratch 5 iterations land far below it.
+    assert s2["final_bound"] >= s1["final_bound"] - 1e-3
+    s_cold = cli.main([a for a in argv] + ["-T", "5", "-s", str(tmp_path / "st2")])
+    assert s2["final_bound"] > s_cold["final_bound"]
+
+
+def test_cli_svgp_resume(tmp_path, rng):
+    """--optimizer svgp + --load restores SVGPParams and continues training."""
+    from gparml_tpu import cli
+
+    x = rng.uniform(-2, 2, (200, 1))
+    y = np.sin(2 * x) + 0.1 * rng.standard_normal((200, 1))
+    inputs = tmp_path / "inputs"
+    emb = tmp_path / "emb"
+    stats = tmp_path / "st"
+    data.save_partitioned(str(inputs), y, 2, prefix="Y")
+    data.save_embeddings(str(emb), x, np.full_like(x, 1e-6), n_partitions=2)
+    argv = [
+        "-i", str(inputs), "-e", str(emb), "-s", str(stats),
+        "-T", "300", "-q", "1", "-m", "8", "--fixed-embeddings",
+        "--optimizer", "svgp", "--batch-size", "64", "--learning-rate", "0.05",
+    ]
+    s1 = cli.main(argv)
+    # argparse keeps the LAST occurrence of a repeated flag
+    s2 = cli.main(argv + ["-T", "50", "--load"])
+    assert s2["final_elbo"] >= s1["final_elbo"] - 25.0  # continues, no restart
+    s_cold = cli.main(argv + ["-T", "50", "-s", str(tmp_path / "st2")])
+    assert s2["final_elbo"] > s_cold["final_elbo"]
+
+
 def test_cli_svgp_mode(tmp_path, rng):
     """--fixed-embeddings --optimizer svgp: minibatch stochastic training."""
     from gparml_tpu import cli

@@ -17,6 +17,22 @@ def _problem(rng, n=400):
     return jnp.asarray(x), jnp.asarray(y)
 
 
+def test_minibatch_window_uniform_inclusion():
+    """Every point must have inclusion probability exactly b/n: sweeping the
+    start over all n positions, each index is covered exactly b times (the
+    non-wraparound window had a 64x end-vs-middle disparity)."""
+    n, b = 37, 16
+    idx = jnp.arange(n)[:, None]
+    idx_ext = svgp.extend_for_wraparound(idx, b)
+    counts = np.zeros(n, dtype=int)
+    window = jax.jit(lambda s: svgp.minibatch_window(idx_ext, s, b))
+    for start in range(n):
+        got = np.asarray(window(jnp.asarray(start))).ravel()
+        np.testing.assert_array_equal(got, (start + np.arange(b)) % n)
+        counts[got] += 1
+    np.testing.assert_array_equal(counts, b)
+
+
 def test_elbo_below_collapsed_bound(rng):
     """For shared (Z, hypers), the uncollapsed ELBO is <= the collapsed bound
     (the collapsed bound optimizes q(u) analytically)."""
