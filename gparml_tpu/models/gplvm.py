@@ -44,6 +44,7 @@ class FitResult(NamedTuple):
     bound: jnp.ndarray
     history: jnp.ndarray
     n_evals: jnp.ndarray
+    trace: Optional[dict] = None  # SCG per-iteration {bound, gnorm2, lambda, alpha, accepted}
 
 
 def init_params(
@@ -147,7 +148,8 @@ def fit(
     if optimizer == "scg":
         opts = scg_options or scg.SCGOptions(max_iters=iters)
         st = jax.jit(lambda p: scg.minimize(vg, p, opts))(p0)
-        return FitResult(st.x, -st.f_now, -st.history, st.n_evals)
+        from gparml_tpu.models.sgpr import scg_trace
+        return FitResult(st.x, -st.f_now, -st.history.f, st.n_evals, scg_trace(st))
     elif optimizer in ("adam", "gd"):
         import optax
         rule = optax.adam(learning_rate) if optimizer == "adam" else optax.sgd(learning_rate)
@@ -223,8 +225,10 @@ def infer_latents(
     opts = scg_options or scg_mod.SCGOptions(max_iters=iters)
     st = jax.jit(lambda l: scg_mod.minimize(vg_fn, l, opts))(lat0)
     mu_s, s_s = P.constrain_latents(st.x, config.bijector)
+    from gparml_tpu.models.sgpr import scg_trace
     return mu_s, s_s, FitResult(
-        params=p, bound=-st.f_now, history=-st.history, n_evals=st.n_evals,
+        params=p, bound=-st.f_now, history=-st.history.f, n_evals=st.n_evals,
+        trace=scg_trace(st),
     )
 
 

@@ -36,6 +36,19 @@ class FitResult(NamedTuple):
     bound: jnp.ndarray          # final evidence lower bound (maximized)
     history: jnp.ndarray        # per-iteration bound values
     n_evals: jnp.ndarray
+    trace: Optional[dict] = None  # SCG per-iteration {bound, gnorm2, lambda, alpha, accepted}
+
+
+def scg_trace(st) -> dict:
+    """Bound-sign per-iteration observability dict from a final SCGState
+    (the reference's display columns: SURVEY.md §5 metrics row)."""
+    return {
+        "bound": -st.history.f,
+        "gnorm2": st.history.gnorm2,
+        "lambda": st.history.lam,
+        "alpha": st.history.alpha,
+        "accepted": st.history.accepted,
+    }
 
 
 def init_params(
@@ -127,7 +140,7 @@ def fit(
     if optimizer == "scg":
         opts = scg_options or scg.SCGOptions(max_iters=iters)
         st = jax.jit(lambda g: scg.minimize(vg, g, opts))(g0)
-        return FitResult(st.x, -st.f_now, -st.history, st.n_evals)
+        return FitResult(st.x, -st.f_now, -st.history.f, st.n_evals, scg_trace(st))
     elif optimizer in ("adam", "gd"):
         import optax
         rule = optax.adam(learning_rate) if optimizer == "adam" else optax.sgd(learning_rate)

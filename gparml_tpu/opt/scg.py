@@ -46,6 +46,19 @@ class SCGOptions(NamedTuple):
     display: bool = False     # per-iteration jax.debug.print (reference's display flag)
 
 
+class SCGHistory(NamedTuple):
+    """Per-iteration trace (nan/False where the loop had already converged):
+    the reference's SCG ``display`` output (bound, step size, lambda) as
+    arrays — SURVEY.md §5 metrics row asks for a structured per-iteration
+    log of (f, grad-norm, lambda, alpha, accepted)."""
+
+    f: jnp.ndarray         # objective after the iteration
+    gnorm2: jnp.ndarray    # ||grad||^2 at the new iterate
+    lam: jnp.ndarray       # scale/regularization lambda after adaptation
+    alpha: jnp.ndarray     # step size along d
+    accepted: jnp.ndarray  # bool: candidate step accepted
+
+
 class SCGState(NamedTuple):
     x: object          # current params pytree
     f_now: jnp.ndarray
@@ -62,7 +75,7 @@ class SCGState(NamedTuple):
     iteration: jnp.ndarray
     done: jnp.ndarray
     n_evals: jnp.ndarray   # objective evaluations so far
-    history: jnp.ndarray   # (max_iters,) f value per iteration (nan-padded)
+    history: SCGHistory    # (max_iters,) per-iteration trace (nan-padded)
 
 
 def _tree_max_abs(t) -> jnp.ndarray:
@@ -78,8 +91,9 @@ def minimize(
     """Minimize ``value_and_grad_fn`` (params -> (f, grad pytree)) with SCG.
 
     Returns the final SCGState; ``state.x`` are the optimized params,
-    ``state.history`` the per-iteration objective values (nan where the loop
-    had already converged). Call under jit for a fully fused loop.
+    ``state.history`` an SCGHistory of per-iteration (f, ||grad||^2, lambda,
+    alpha, accepted) arrays (nan/False where the loop had already
+    converged). Call under jit for a fully fused loop.
     """
     nparams = sum(l.size for l in jax.tree.leaves(x0))
 
@@ -99,7 +113,11 @@ def minimize(
         sigma0=max(options.sigma0, 10.0 * float(fi.eps) ** 0.5),
     )
     d0 = tree_neg(g0)
-    history0 = jnp.full((options.max_iters,), jnp.nan, dtype=f0.dtype)
+    nanrow = jnp.full((options.max_iters,), jnp.nan, dtype=f0.dtype)
+    history0 = SCGHistory(
+        f=nanrow, gnorm2=nanrow, lam=nanrow, alpha=nanrow,
+        accepted=jnp.zeros((options.max_iters,), bool),
+    )
 
     state = SCGState(
         x=x0,
@@ -203,7 +221,13 @@ def minimize(
         )
         nsuccess = jnp.where(restart, 0, nsuccess)
 
-        history = st.history.at[st.iteration].set(f_now)
+        history = SCGHistory(
+            f=st.history.f.at[st.iteration].set(f_now),
+            gnorm2=st.history.gnorm2.at[st.iteration].set(gg),
+            lam=st.history.lam.at[st.iteration].set(lam),
+            alpha=st.history.alpha.at[st.iteration].set(alpha),
+            accepted=st.history.accepted.at[st.iteration].set(ok),
+        )
 
         if options.display:
             jax.debug.print(

@@ -25,15 +25,26 @@ def write_history(
     fmt: Optional[str] = None,
     extra: Optional[Dict] = None,
 ) -> None:
-    """Persist a per-iteration bound history (nan-padded array) as JSONL or
-    CSV. ``fmt`` defaults from the file extension (.jsonl / .csv)."""
-    hist = np.asarray(history)
-    valid = np.isfinite(hist)
+    """Persist a per-iteration history as JSONL or CSV.
+
+    ``history`` is either a nan-padded (T,) bound array or a dict of named
+    (T,) columns (e.g. an SCG trace: bound, gnorm2, lambda, alpha, accepted).
+    Rows where the bound is nan (loop already converged) are dropped.
+    ``fmt`` defaults from the file extension (.jsonl / .csv)."""
+    if not isinstance(history, dict):
+        history = {"bound": history}
+    cols = {k: np.asarray(v) for k, v in history.items()}
+    valid = np.isfinite(cols.get("bound", next(iter(cols.values()))))
     if fmt is None:
         fmt = "csv" if path.endswith(".csv") else "jsonl"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    def _py(v):
+        return bool(v) if v.dtype == np.bool_ else float(v)
+
     rows = [
-        {"iteration": int(i), "bound": float(hist[i]), **(extra or {})}
+        {"iteration": int(i), **{k: _py(v[i]) for k, v in cols.items()},
+         **(extra or {})}
         for i in np.nonzero(valid)[0]
     ]
     if fmt == "csv":

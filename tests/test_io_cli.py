@@ -71,6 +71,12 @@ def test_cli_end_to_end_and_resume(tmp_path, rng):
     with open(stats / "bound_history.jsonl") as f:
         lines = [json.loads(l) for l in f]
     assert lines and lines[-1]["bound"] == pytest.approx(summary1["final_bound"], rel=1e-5)
+    # per-iteration observability: every row carries the full SCG trace
+    for row in lines:
+        assert {"iteration", "bound", "gnorm2", "lambda", "alpha",
+                "accepted", "avg_iter_wall_s"} <= set(row)
+        assert isinstance(row["accepted"], bool)
+        assert row["gnorm2"] >= 0 and row["avg_iter_wall_s"] > 0
 
     # resume
     summary2 = cli.main(argv + ["--load"])

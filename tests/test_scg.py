@@ -44,10 +44,15 @@ def test_pytree_params_and_monotone_history():
     st = jax.jit(lambda p: scg.minimize(vg, p, scg.SCGOptions(max_iters=100)))(p0)
     np.testing.assert_allclose(st.x["w"], 3.0, atol=1e-5)
     np.testing.assert_allclose(st.x["b"]["c"], -1.0, atol=1e-2)
-    hist = np.asarray(st.history)
-    hist = hist[np.isfinite(hist)]
+    hist = np.asarray(st.history.f)
+    valid = np.isfinite(hist)
     # f_now history is non-increasing (rejected steps keep the old value)
-    assert np.all(np.diff(hist) <= 1e-12)
+    assert np.all(np.diff(hist[valid]) <= 1e-12)
+    # the trace struct is populated consistently on executed iterations
+    assert np.all(np.isfinite(np.asarray(st.history.gnorm2)[valid]))
+    assert np.all(np.asarray(st.history.lam)[valid] > 0)
+    assert np.all(np.isfinite(np.asarray(st.history.alpha)[valid]))
+    assert np.asarray(st.history.accepted)[valid].any()
 
 
 def test_early_convergence_stops_evals():
@@ -59,6 +64,6 @@ def test_early_convergence_stops_evals():
     st = jax.jit(lambda x: scg.minimize(vg, x, scg.SCGOptions(max_iters=500)))(
         jnp.ones(3)
     )
-    hist = np.asarray(st.history)
+    hist = np.asarray(st.history.f)
     assert np.isnan(hist[-1])  # converged long before 500 iterations
     assert float(st.f_now) < 1e-12
