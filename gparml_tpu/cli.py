@@ -112,22 +112,34 @@ def run(options) -> dict:
     if options.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
-    # ---- data ----
-    y_np = data.load_partitioned(options.input, prefix="Y")
-    n_partitions = options.save_partitions or len(
-        data._partition_files(options.input, prefix="Y")
-    )
-    n, d = y_np.shape
-
-    # ---- mesh ----
-    if options.parallel == "remote":
+    # ---- mesh + data ----
+    # remote = multi-host: every process runs this same program; each loads
+    # ONLY its own contiguous row block of the partition files (the
+    # reference's per-partition worker reads, SURVEY.md §3.4) and builds
+    # globally-sharded arrays from it — the dataset is never gathered.
+    remote = options.parallel == "remote"
+    if remote:
         from gparml_tpu.parallel import distributed
 
         distributed.initialize()
         mesh = distributed.global_mesh()
+        n = data.partition_rows(options.input, prefix="Y")
+        row_start, row_stop, _ = distributed.process_row_range(n)
+        y_np = data.load_rows(
+            options.input, row_start, min(row_stop, n), prefix="Y"
+        )
+        d = y_np.shape[1]
+        writer = distributed.is_coordinator()
     else:
+        distributed = None
+        y_np = data.load_partitioned(options.input, prefix="Y")
+        n, d = y_np.shape
         n_dev = len(jax.devices())
         mesh = mesh_lib.make_mesh(n_dev) if n_dev > 1 else None
+        writer = True
+    n_partitions = options.save_partitions or len(
+        data._partition_files(options.input, prefix="Y")
+    )
 
     timer = glog.Timer()
     timer.start("init")
@@ -136,15 +148,33 @@ def run(options) -> dict:
     # ---- sparse-GP-regression mode (reference --fixed_embeddings with
     # observed inputs: s = 0, psi stats collapse to kernel products) ----
     if options.fixed_embeddings:
-        x_np, _ = data.load_embeddings(options.embeddings)
-        if x_np.shape[0] != n:
-            raise ValueError(
-                f"embeddings rows {x_np.shape[0]} != N={n}; --fixed-embeddings "
-                "needs observed inputs in the embeddings folder"
+        if remote:
+            n_x = data.partition_rows(options.embeddings, prefix="X_mu")
+            if n_x != n:
+                raise ValueError(
+                    f"embeddings rows {n_x} != N={n}; --fixed-embeddings "
+                    "needs observed inputs in the embeddings folder"
+                )
+            x_np, _ = data.load_embeddings_rows(
+                options.embeddings, row_start, min(row_stop, n)
             )
+        else:
+            x_np, _ = data.load_embeddings(options.embeddings)
+            if x_np.shape[0] != n:
+                raise ValueError(
+                    f"embeddings rows {x_np.shape[0]} != N={n}; "
+                    "--fixed-embeddings needs observed inputs in the "
+                    "embeddings folder"
+                )
         x = jnp.asarray(x_np, dtype)
         y = jnp.asarray(y_np, dtype)
         if options.optimizer == "svgp":
+            if remote:
+                raise ValueError(
+                    "--optimizer svgp is a single-host minibatch mode; the "
+                    "collapsed modes (-p remote with scg/adam/gd) are the "
+                    "multi-host path"
+                )
             from gparml_tpu.models import svgp as svgp_mod
 
             vcfg = svgp_mod.SVGPConfig(
@@ -196,9 +226,19 @@ def run(options) -> dict:
             if os.path.exists(sckpt):
                 g0, smeta = checkpoint.load(sckpt, g0)
                 g0 = jax.tree.map(lambda a: jnp.asarray(a, dtype), g0)
-                print(f"resumed from {sckpt} (iteration {smeta.get('iteration')})")
+                if writer:
+                    print(f"resumed from {sckpt} "
+                          f"(iteration {smeta.get('iteration')})")
         weights = None
-        if mesh is not None:
+        if remote:
+            # init used this host's block only; globals must agree everywhere
+            g0 = distributed.broadcast_pytree(jax.tree.map(np.asarray, g0))
+            g0 = jax.tree.map(lambda a: jnp.asarray(a, dtype), g0)
+            g0 = distributed.replicate(mesh, g0)
+            y, x, weights = distributed.shard_data_multihost(
+                mesh, n, np.asarray(y), np.asarray(x)
+            )
+        elif mesh is not None:
             # Shard the dtype-converted arrays (NOT the raw on-disk ones) so
             # --dtype float64 data and the padding weights match the params.
             y, x, weights = mesh_lib.shard_data(mesh, np.asarray(y), np.asarray(x))
@@ -219,7 +259,7 @@ def run(options) -> dict:
             "devices": len(jax.devices()), "parallel": options.parallel,
             "wall_time_s": round(time.perf_counter() - t_start, 3),
         }
-        if options.statistics:
+        if options.statistics and writer:
             os.makedirs(options.statistics, exist_ok=True)
             glog.write_history(
                 os.path.join(options.statistics, "bound_history.jsonl"),
@@ -227,12 +267,14 @@ def run(options) -> dict:
                 extra=_iter_wall_extra(fit_s, result.history),
             )
             checkpoint.save(
-                os.path.join(options.statistics, "checkpoint.npz"), result.params,
+                os.path.join(options.statistics, "checkpoint.npz"),
+                jax.tree.map(np.asarray, result.params),
                 meta={"iteration": options.iterations, "bound": float(result.bound)},
             )
             with open(os.path.join(options.statistics, "summary.json"), "w") as f:
                 json.dump(summary, f, indent=2)
-        print(json.dumps(summary))
+        if writer:
+            print(json.dumps(summary))
         return summary
 
     # ---- model + params ----
@@ -248,10 +290,25 @@ def run(options) -> dict:
     y = jnp.asarray(y_np, dtype)
 
     if options.load and os.path.isdir(options.embeddings):
-        mu_np, s_np = data.load_embeddings(options.embeddings)
-        if mu_np.shape != (n, options.q):
+        if remote:
+            n_emb = data.partition_rows(options.embeddings, prefix="X_mu")
+            if n_emb != n:
+                raise ValueError(
+                    f"loaded embeddings have {n_emb} rows, expected N={n}"
+                )
+            mu_np, s_np = data.load_embeddings_rows(
+                options.embeddings, row_start, min(row_stop, n)
+            )
+        else:
+            mu_np, s_np = data.load_embeddings(options.embeddings)
+            if mu_np.shape != (n, options.q):
+                raise ValueError(
+                    f"loaded embeddings {mu_np.shape} do not match "
+                    f"(N={n}, Q={options.q})"
+                )
+        if mu_np.shape[1] != options.q:
             raise ValueError(
-                f"loaded embeddings {mu_np.shape} do not match (N={n}, Q={options.q})"
+                f"loaded embeddings have Q={mu_np.shape[1]}, expected {options.q}"
             )
         k1, _ = jax.random.split(key)
         from gparml_tpu.utils import init as init_utils
@@ -265,17 +322,41 @@ def run(options) -> dict:
         glob = jax.tree.map(lambda a: a.astype(dtype), glob)
         params = P.GPLVMParams(glob=glob, lat=lat)
     else:
+        # In remote mode this initializes from THIS host's block (local PCA
+        # per partition is exactly the reference's init, SURVEY.md §3.5);
+        # globals are then agreed via broadcast below.
         params = gplvm.init_params(key, y, cfg)
 
     ckpt_path = None
     if options.statistics:
         ckpt_path = os.path.join(options.statistics, "checkpoint.npz")
         if options.load and os.path.exists(ckpt_path):
-            params, meta = checkpoint.load(ckpt_path, params)
-            print(f"resumed from {ckpt_path} (iteration {meta.get('iteration')})")
+            if remote:
+                # multi-host checkpoints hold globals only; the latents live
+                # in the embeddings folder (loaded per-host above)
+                glob, meta = checkpoint.load(ckpt_path, params.glob)
+                glob = jax.tree.map(lambda a: jnp.asarray(a, dtype), glob)
+                params = P.GPLVMParams(glob=glob, lat=params.lat)
+            else:
+                params, meta = checkpoint.load(ckpt_path, params)
+            if writer:
+                print(f"resumed from {ckpt_path} "
+                      f"(iteration {meta.get('iteration')})")
 
     weights = None
-    if mesh is not None:
+    if remote:
+        glob = distributed.broadcast_pytree(
+            jax.tree.map(np.asarray, params.glob)
+        )
+        glob = distributed.replicate(
+            mesh, jax.tree.map(lambda a: np.asarray(a, dtype), glob)
+        )
+        y, mu_s, us_s, weights = distributed.shard_data_multihost(
+            mesh, n, np.asarray(y),
+            np.asarray(params.lat.mu), np.asarray(params.lat.u_s),
+        )
+        params = P.GPLVMParams(glob=glob, lat=P.LatentParams(mu=mu_s, u_s=us_s))
+    elif mesh is not None:
         y, mu_s, us_s, weights = mesh_lib.shard_data(
             mesh, np.asarray(y), np.asarray(params.lat.mu), np.asarray(params.lat.u_s)
         )
@@ -301,9 +382,21 @@ def run(options) -> dict:
     # ---- save ----
     timer.start("save")
     mu, s = gplvm.latents(result.params, cfg)
-    mu_np = np.asarray(mu)[:n]
-    s_np = np.asarray(s)[:n]
-    data.save_embeddings(options.embeddings, mu_np, s_np, n_partitions)
+    if remote:
+        # Each host persists exactly its own block as one partition file —
+        # the reference's per-partition writes; nothing is gathered. Rows
+        # beyond N (mesh padding, all on the last host) are trimmed.
+        n_valid = max(0, min(row_stop, n) - row_start)
+        mu_np = distributed.local_block(mu)[:n_valid]
+        s_np = distributed.local_block(s)[:n_valid]
+        data.save_embeddings_partition(
+            options.embeddings, mu_np, s_np, partition=jax.process_index()
+        )
+        distributed.barrier("embeddings_saved")
+    else:
+        mu_np = np.asarray(mu)[:n]
+        s_np = np.asarray(s)[:n]
+        data.save_embeddings(options.embeddings, mu_np, s_np, n_partitions)
     summary = {
         "n": n, "d": d, "q": options.q, "m": options.m,
         "optimizer": options.optimizer,
@@ -314,35 +407,42 @@ def run(options) -> dict:
         "devices": len(jax.devices()),
         "parallel": options.parallel,
     }
-    if options.statistics:
+    if options.statistics and writer:
         os.makedirs(options.statistics, exist_ok=True)
         glog.write_history(
             os.path.join(options.statistics, "bound_history.jsonl"),
             result.trace if result.trace is not None else result.history,
             extra=_iter_wall_extra(fit_s, result.history),
         )
-        # Checkpoint UNPADDED latents: the mesh pads N to a device-count
-        # multiple, and a resume may run on a different device count.
-        lat_trim = P.LatentParams(
-            mu=np.asarray(result.params.lat.mu)[:n],
-            u_s=np.asarray(result.params.lat.u_s)[:n],
-        )
-        ckpt_params = P.GPLVMParams(
-            glob=jax.tree.map(np.asarray, result.params.glob), lat=lat_trim
-        )
-        checkpoint.save(
-            ckpt_path, ckpt_params,
-            meta={"iteration": options.iterations, "bound": final_bound,
-                  "config": {k: v for k, v in vars(options).items()
-                             if isinstance(v, (int, float, str, bool, type(None)))}},
-        )
+        meta = {"iteration": options.iterations, "bound": final_bound,
+                "config": {k: v for k, v in vars(options).items()
+                           if isinstance(v, (int, float, str, bool, type(None)))}}
+        if remote:
+            # globals only; the per-host embedding partition files ARE the
+            # latent state (exactly the reference's checkpoint shape)
+            checkpoint.save(
+                ckpt_path, jax.tree.map(np.asarray, result.params.glob),
+                meta=meta,
+            )
+        else:
+            # Checkpoint UNPADDED latents: the mesh pads N to a device-count
+            # multiple, and a resume may run on a different device count.
+            lat_trim = P.LatentParams(
+                mu=np.asarray(result.params.lat.mu)[:n],
+                u_s=np.asarray(result.params.lat.u_s)[:n],
+            )
+            ckpt_params = P.GPLVMParams(
+                glob=jax.tree.map(np.asarray, result.params.glob), lat=lat_trim
+            )
+            checkpoint.save(ckpt_path, ckpt_params, meta=meta)
     timer.stop("save")
     summary["wall_time_s"] = round(time.perf_counter() - t_start, 3)
     summary["timings_s"] = {k: round(v, 3) for k, v in timer.summary().items()}
-    if options.statistics:
+    if options.statistics and writer:
         with open(os.path.join(options.statistics, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
-    print(json.dumps(summary))
+    if writer:
+        print(json.dumps(summary))
     return summary
 
 

@@ -61,10 +61,57 @@ def save_partitioned(
     return paths
 
 
+def partition_rows(folder: str, prefix: Optional[str] = None) -> int:
+    """Total row count across partition files WITHOUT loading data (npy
+    headers only, via mmap) — multi-host ingestion needs the global N before
+    any host decides which rows to read."""
+    return sum(
+        np.load(f, mmap_mode="r").shape[0] for f in _partition_files(folder, prefix)
+    )
+
+
+def load_rows(
+    folder: str, start: int, stop: int, prefix: Optional[str] = None
+) -> np.ndarray:
+    """Rows [start, stop) of the concatenated partitioned array, reading only
+    the files that overlap the range (mmap-sliced). This is the per-host
+    loader for the remote/multi-host path: the reference's workers each read
+    only their own partition files (SURVEY.md §3.4); here each host reads
+    only its contiguous row block, never gathering the dataset."""
+    files = _partition_files(folder, prefix)
+    out = []
+    offset = 0
+    for f in files:
+        arr = np.load(f, mmap_mode="r")
+        n = arr.shape[0]
+        lo, hi = max(start - offset, 0), min(stop - offset, n)
+        if lo < hi:
+            out.append(np.asarray(arr[lo:hi]))
+        offset += n
+        if offset >= stop:
+            break
+    if out:
+        return np.concatenate(out, axis=0) if len(out) > 1 else out[0]
+    head = np.load(files[0], mmap_mode="r")
+    return np.empty((0,) + head.shape[1:], dtype=head.dtype)
+
+
 def load_embeddings(folder: str) -> Tuple[np.ndarray, np.ndarray]:
     """(mu, s) from X_mu_*.npy / X_S_*.npy partition files."""
     mu = load_partitioned(folder, prefix="X_mu")
     s = load_partitioned(folder, prefix="X_S")
+    if mu.shape != s.shape:
+        raise ValueError(f"embeddings shape mismatch: mu {mu.shape} vs s {s.shape}")
+    return mu, s
+
+
+def load_embeddings_rows(
+    folder: str, start: int, stop: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rows [start, stop) of (mu, s) — the per-host slice of the embeddings
+    folder for multi-host resume/fixed-inputs modes."""
+    mu = load_rows(folder, start, stop, prefix="X_mu")
+    s = load_rows(folder, start, stop, prefix="X_S")
     if mu.shape != s.shape:
         raise ValueError(f"embeddings shape mismatch: mu {mu.shape} vs s {s.shape}")
     return mu, s
@@ -75,6 +122,17 @@ def save_embeddings(
 ) -> None:
     save_partitioned(folder, np.asarray(mu), n_partitions, prefix="X_mu")
     save_partitioned(folder, np.asarray(s), n_partitions, prefix="X_S")
+
+
+def save_embeddings_partition(
+    folder: str, mu: np.ndarray, s: np.ndarray, partition: int
+) -> None:
+    """Write ONE partition's (mu, s) files — each host of a multi-host run
+    persists exactly its own block, like the reference's per-partition
+    mappers (no host ever holds the full embedding arrays)."""
+    os.makedirs(folder, exist_ok=True)
+    np.save(os.path.join(folder, f"X_mu_{partition}.npy"), np.asarray(mu))
+    np.save(os.path.join(folder, f"X_S_{partition}.npy"), np.asarray(s))
 
 
 # ---------------------------------------------------------------------------

@@ -142,20 +142,30 @@ def fit(
         fixed_hypers=config.fixed_hypers,
     )
 
-    def vg(p):
-        return neg_bound_value_and_grad(p, y, config, mask, mesh=mesh, weights=weights)
+    # Data AND the gradient mask ride as jit ARGUMENTS (not closure
+    # constants): multi-host global arrays — the sharded Y/weights and the
+    # mask's ones_like of the sharded latents — cannot be embedded as
+    # compile-time constants.
+    def vg_of(y, weights, mask):
+        return lambda p: neg_bound_value_and_grad(
+            p, y, config, mask, mesh=mesh, weights=weights
+        )
 
     if optimizer == "scg":
         opts = scg_options or scg.SCGOptions(max_iters=iters)
-        st = jax.jit(lambda p: scg.minimize(vg, p, opts))(p0)
+        st = jax.jit(
+            lambda p, y, w, m: scg.minimize(vg_of(y, w, m), p, opts)
+        )(p0, y, weights, mask)
         from gparml_tpu.models.sgpr import scg_trace
         return FitResult(st.x, -st.f_now, -st.history.f, st.n_evals, scg_trace(st))
     elif optimizer in ("adam", "gd"):
         import optax
         rule = optax.adam(learning_rate) if optimizer == "adam" else optax.sgd(learning_rate)
         res = jax.jit(
-            lambda p: optax_adapter.minimize(vg, p, iters, optimizer=rule)
-        )(p0)
+            lambda p, y, w, m: optax_adapter.minimize(
+                vg_of(y, w, m), p, iters, optimizer=rule
+            )
+        )(p0, y, weights, mask)
         return FitResult(res.x, -res.f_now, -res.history, res.n_evals)
     raise ValueError(f"unknown optimizer {optimizer!r}; options: scg, adam, gd")
 

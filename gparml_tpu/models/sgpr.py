@@ -134,19 +134,28 @@ def fit(
         fixed_hypers=config.fixed_hypers,
     )
 
-    def vg(g):
-        return neg_bound_value_and_grad(g, x, y, config, mask, mesh=mesh, weights=weights)
+    # Data AND the gradient mask ride as jit ARGUMENTS (not closure
+    # constants): a multi-host global array cannot be embedded as a
+    # compile-time constant.
+    def vg_of(x, y, weights, mask):
+        return lambda g: neg_bound_value_and_grad(
+            g, x, y, config, mask, mesh=mesh, weights=weights
+        )
 
     if optimizer == "scg":
         opts = scg_options or scg.SCGOptions(max_iters=iters)
-        st = jax.jit(lambda g: scg.minimize(vg, g, opts))(g0)
+        st = jax.jit(
+            lambda g, x, y, w, m: scg.minimize(vg_of(x, y, w, m), g, opts)
+        )(g0, x, y, weights, mask)
         return FitResult(st.x, -st.f_now, -st.history.f, st.n_evals, scg_trace(st))
     elif optimizer in ("adam", "gd"):
         import optax
         rule = optax.adam(learning_rate) if optimizer == "adam" else optax.sgd(learning_rate)
         res = jax.jit(
-            lambda g: optax_adapter.minimize(vg, g, iters, optimizer=rule)
-        )(g0)
+            lambda g, x, y, w, m: optax_adapter.minimize(
+                vg_of(x, y, w, m), g, iters, optimizer=rule
+            )
+        )(g0, x, y, weights, mask)
         return FitResult(res.x, -res.f_now, -res.history, res.n_evals)
     raise ValueError(f"unknown optimizer {optimizer!r}; options: scg, adam, gd")
 

@@ -138,6 +138,11 @@ def minimize(
         history=history0,
     )
 
+    if options.max_iters == 0:
+        # pure evaluation at x0 (while_loop would still TRACE the body, and
+        # a size-0 history cannot be indexed even in dead code)
+        return state
+
     def cond(st: SCGState):
         return jnp.logical_and(st.iteration < options.max_iters, ~st.done)
 
