@@ -22,16 +22,43 @@ import jax
 import jax.numpy as jnp
 
 
+def _round_bf16(x):
+    """Round an f32 array to the nearest bf16 value WITHOUT a dtype round-trip.
+
+    ``x.astype(bf16).astype(f32)`` is algebraically folded away by XLA under
+    ``--xla_allow_excess_precision`` (a default in deployed toolchains), which
+    silently turns every hi/lo split into ``hi = x, lo = 0`` and collapses the
+    compensation to plain bf16 products (~5e-3 gradient error, measured).
+    ``lax.reduce_precision`` would be the canonical fix but has no Pallas TPU
+    lowering, and integer bit-twiddling (bitcast + mask) lowers to a ~25x
+    slower scalar path in Mosaic. Veltkamp splitting is pure f32 VPU math:
+    with c = 2^16 + 1, y = c*x rounds so that y - (y - x) keeps exactly the
+    top 8 mantissa bits of x (a bf16-representable value, RNE). The
+    excess-precision pass folds dtype-convert pairs, not float arithmetic,
+    so the split survives. Finite inputs only: |x| must stay below
+    ~2^110 so c*x doesn't overflow (fine for exponents/cotangents)."""
+    c = jnp.float32(65537.0)  # 2^16 + 1
+    y = c * x
+    return y - (y - x)
+
+
 def _split(x):
-    f32 = jnp.float32
-    x = x.astype(f32)
-    hi = x.astype(jnp.bfloat16).astype(f32)
+    x = x.astype(jnp.float32)
+    hi = _round_bf16(x)
     return hi, x - hi
 
 
 def _comp_dg(a, b, a_axis: int, b_axis: int) -> jnp.ndarray:
     """Compensated dot_general of two 2-D arrays contracting ``a_axis`` of a
-    with ``b_axis`` of b (single MXU pass, ~f32 products)."""
+    with ``b_axis`` of b (single MXU pass, ~2^-16-accurate products).
+
+    The dropped a_lo*b_lo term and the MXU's bf16 rounding of the lo halves
+    cap this at ~2^-16 relative per product; with the Veltkamp splits (which
+    survive the compiler, see _round_bf16) that yields ~1.5e-4-class psi
+    VJPs against a float64 oracle — parity with the XLA HIGHEST path. A
+    6-term 3-way-ladder variant (~2^-24) was tried and measured: no further
+    gradient gain here, at ~40% forward throughput cost in split-prep VPU
+    work."""
     a_hi, a_lo = _split(a)
     b_hi, b_lo = _split(b)
     lhs = jnp.concatenate([a_hi, a_hi, a_lo], axis=a_axis)

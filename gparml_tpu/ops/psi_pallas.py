@@ -10,16 +10,25 @@ scan step; this kernel streams N-tiles through VMEM and keeps the (M, M) and
   per grid step (one N-tile):
     * Psi1 tile      — (TN, Q) x (Q, M) matmuls on the MXU, fused exp on VPU
     * Psi1^T(w·Y)    — (M, TN) x (TN, D) MXU accumulation
-    * Psi2 tile      — one (TN·M, Q) x (Q, M) MXU matmul builds the
+    * Psi2 tile      — one (TN·Ms, Q) x (Q, Ml) MXU matmul builds the
                        n-dependent quadratic form B_n[m,m'] = sum_q c_nq
-                       z_mq z_m'q; VPU exponentiates (TN, M, M) in VMEM and
-                       reduces onto the (M, M) accumulator.
+                       z_mq z_m'q; VPU exponentiates (TN, Ms, Ml) in VMEM and
+                       reduces onto the (Ms, Ml) accumulator.
+
+The big per-tile tensor is ASYMMETRICALLY padded: the lane (last) dim needs
+a multiple of 128 (Ml), but the sublane (second-to-last) dim only needs a
+multiple of 8 (Ms) — at M=200 that is (200, 256) instead of (256, 256),
+cutting ~22% of all VPU work on padding that exp() would just zero out.
+
+All exponentials run in base 2 (`exp2`): the log-space quantities are
+scaled by log2(e) once in the cheap 2-D stage, so the (TN, Ms, Ml) tensor
+never pays the exp(x) = exp2(x·log2e) range-conversion multiply.
 
 Backward: a second Pallas kernel whose body applies ``jax.vjp`` of the same
-per-tile math (rematerialized in VMEM), producing exact cotangents for
-(mu, s, z, sf2, alpha, yw) with zero hand-derived formulas — the TPU-native
-replacement for the reference's several hundred lines of hand-written
-derivative code.
+per-tile 2-D math (rematerialized in VMEM), producing exact cotangents for
+(mu, s, z, sf2, alpha, yw) with zero hand-derived formulas beyond the three
+Psi2 contraction identities — the TPU-native replacement for the
+reference's several hundred lines of hand-written derivative code.
 
 Padding contract (all exact):
   * Q padded with alpha=0 columns  — a zero precision contributes nothing,
@@ -34,23 +43,36 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from gparml_tpu.ops.precise import _comp_dg, compensated_dot
+from gparml_tpu.ops.precise import _comp_dg, _round_bf16, compensated_dot
 from gparml_tpu.ops.psi import SufficientStats, kl_qp
 
 _NEG_BIG = -1e30
+_LOG2E = 1.4426950408889634  # log2(e): folded into the 2-D stage for exp2
+_LN2 = 0.6931471805599453
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _tile_2d(mu, s, z, z2, alpha, log_sf2, logw, neg_pad):
-    """2-D per-tile pieces shared by forward and backward:
-      lq   (TN, Mp): log Psi1 (incl. log w and the M-padding -inf mask)
-      vpp  (TN, Mp): the per-side Psi2 exponent vector (see _tile_stats doc)
-      coef (TN, Qp): the per-point quadratic-form coefficients (alpha - c2)/2
+def _m_dims(m: int) -> tuple[int, int]:
+    """(Ms, Ml): sublane-side and lane-side padded M for the big tensors."""
+    ml = _round_up(max(m, 128), 128)
+    ms = min(_round_up(m, 8), ml)
+    return ms, ml
+
+
+def _tile_2d(mu, s, z, z2, alpha, log_sf2, logw, neg_pad,
+             dot=compensated_dot):
+    """2-D per-tile pieces shared by forward and backward, in BASE-2 LOG
+    UNITS (pre-scaled by log2 e so the big (TN, Ms, Ml) tensors use exp2):
+      lq   (TN, Ml): log2 Psi1 (incl. log2 w and the M-padding -inf mask)
+      vpp  (TN, Ml): the per-side Psi2 exponent vector (see _tile_stats doc)
+      coef (TN, Qp): the per-point quadratic-form coefficients
+                     log2e·(alpha - c2)/2 — bt inherits the scale via the MXU
     ``alpha`` may be (1, Qp) (forward) or (TN, Qp) (backward: full-rank leaf
     so its cotangent avoids a transpose-of-broadcast Mosaic can't lower).
+    ``log_sf2`` and ``logw`` are natural logs; scaling happens here.
     """
     den1 = alpha * s + 1.0                                        # (TN, Qp)
     c1 = alpha / den1
@@ -60,8 +82,8 @@ def _tile_2d(mu, s, z, z2, alpha, log_sf2, logw, neg_pad):
         - 0.5 * jnp.sum(c1 * mu * mu, axis=1, keepdims=True)
         + logw
     )                                                             # (TN, 1)
-    quad = compensated_dot(c1 * mu, z) - 0.5 * compensated_dot(c1, z2)
-    lq = logn1 + quad + neg_pad                                   # (TN, Mp)
+    quad = dot(c1 * mu, z) - 0.5 * dot(c1, z2)
+    lq = _LOG2E * (logn1 + quad) + neg_pad                        # (TN, Ml)
 
     den2 = 2.0 * alpha * s + 1.0
     c2 = alpha / den2                                             # (TN, Qp)
@@ -70,42 +92,47 @@ def _tile_2d(mu, s, z, z2, alpha, log_sf2, logw, neg_pad):
         - 0.5 * jnp.sum(jnp.log(den2), axis=1, keepdims=True)
         - jnp.sum(c2 * mu * mu, axis=1, keepdims=True)
     )                                                             # (TN, 1)
-    r = compensated_dot(alpha, z2)                                # sum_q a z^2
+    r = dot(alpha, z2)                                            # sum_q a z^2
     vpp = (
-        compensated_dot(c2 * mu, z)
-        - 0.25 * compensated_dot(c2, z2)
-        - 0.25 * r
-        + 0.5 * log_const
-        + 0.5 * logw
+        _LOG2E
+        * (
+            dot(c2 * mu, z)
+            - 0.25 * dot(c2, z2)
+            - 0.25 * r
+            + 0.5 * log_const
+            + 0.5 * logw
+        )
         + neg_pad
-    )                                                             # (TN, Mp)
-    coef = 0.5 * (alpha - c2)                                     # (TN, Qp) >= 0
+    )                                                             # (TN, Ml)
+    coef = (0.5 * _LOG2E) * (alpha - c2)                          # (TN, Qp) >= 0
     return lq, vpp, coef
 
 
-def _mask_and_logw(mu, w, mp, m_real):
+def _mask_and_logw(mu, w, ml, m_real):
     neg_pad = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, mp), 1) >= m_real
-    ).astype(mu.dtype) * _NEG_BIG                                 # (1, Mp)
-    logw = jnp.log(w)                                             # (TN, 1); -inf at w=0
+        jax.lax.broadcasted_iota(jnp.int32, (1, ml), 1) >= m_real
+    ).astype(mu.dtype) * _NEG_BIG                                 # (1, Ml)
+    # Clamp log(0) -> -1e30 instead of -inf: vpp rides through a hi/lo-split
+    # matmul (the folded bt column), and -inf minus its bf16 half is NaN.
+    logw = jnp.maximum(jnp.log(w), _NEG_BIG)                      # (TN, 1)
     return neg_pad, logw
 
 
-def _tile_stats(mu, s, yw, w, z, z2, alpha, log_sf2, m_real: int):
+def _tile_stats(mu, s, yw, w, z, z2, alpha, log_sf2, m_real: int, ms: int):
     """Pure-jnp per-tile statistics. Shapes:
-      mu, s: (TN, Qp); yw: (TN, D); w: (TN, 1); z, z2: (Mp, Qp);
+      mu, s: (TN, Qp); yw: (TN, D); w: (TN, 1); z, z2: (Ml, Qp);
       alpha: (1, Qp); log_sf2: (1, 1).
-    Returns (psi1y (Mp, D), psi2 (Mp, Mp)).
+    Returns (psi1y (Ml, D), psi2 (Ms, Ml)).
 
-    The Psi2 exponent is fully folded so the (TN, Mp, Mp) elementwise chain is
-    just two broadcast adds + exp + reduce:
+    The Psi2 exponent is fully folded so the (TN, Ms, Ml) elementwise chain
+    is just two broadcast adds + exp2 + reduce:
 
-      log Psi2[n,m,m'] = Bt_n[m,m'] + vpp_n[m] + vpp_n[m']
-      Bt_n[m,m'] = sum_q coef_nq z_mq z_m'q,   coef = (alpha - c2)/2
+      log2 Psi2[n,m,m'] = Bt_n[m,m'] + vpp_n[m] + vpp_n[m']
+      Bt_n[m,m'] = sum_q coef_nq z_mq z_m'q,   coef = log2e·(alpha - c2)/2
                    (the E0 cross term merged into the per-n MXU matmul)
-      vpp_n[m]   = -1/4 sum_q c2 z^2 + sum_q c2 mu z     (v)
+      vpp_n[m]   = log2e·[ -1/4 sum_q c2 z^2 + sum_q c2 mu z     (v)
                    - 1/4 sum_q alpha z^2                  (E0 row term r_m)
-                   + 1/2 log_const_n + 1/2 log w_n        (split across sides)
+                   + 1/2 log_const_n + 1/2 log w_n ]      (split across sides)
                    + (-inf beyond m_real)                 (M-padding mask)
 
     log(w) also zeroes weight-0 (N-padding) rows exactly, and makes the whole
@@ -113,20 +140,27 @@ def _tile_stats(mu, s, yw, w, z, z2, alpha, log_sf2, m_real: int):
     """
     f32 = jnp.float32
     tn, qp = mu.shape
-    mp = z.shape[0]
-    neg_pad, logw = _mask_and_logw(mu, w, mp, m_real)
+    ml = z.shape[0]
+    neg_pad, logw = _mask_and_logw(mu, w, ml, m_real)
     lq, vpp, coef = _tile_2d(mu, s, z, z2, alpha, log_sf2, logw, neg_pad)
 
-    psi1 = jnp.exp(lq)                                            # (TN, Mp)
+    psi1 = jnp.exp2(lq)                                           # (TN, Ml)
     psi1y = jax.lax.dot_general(
         psi1, yw, (((0,), (0,)), ((), ())), preferred_element_type=f32,
         precision=jax.lax.Precision.HIGHEST,
-    )                                                             # (Mp, D)
+    )                                                             # (Ml, D)
 
-    zc = (z[None, :, :] * coef[:, None, :]).reshape(tn * mp, qp)  # (TN*Mp, Qp)
-    bt = compensated_dot(zc, z).reshape(tn, mp, mp)
-    lp = bt + vpp[:, :, None] + vpp[:, None, :]
-    psi2 = jnp.sum(jnp.exp(lp), axis=0)                           # (Mp, Mp)
+    zs = z[:ms]                                                   # (Ms, Qp)
+    zc = (zs[None, :, :] * coef[:, None, :]).reshape(tn * ms, qp)
+    bt = compensated_dot(zc, z).reshape(tn, ms, ml)
+    # NB: slice and newaxis must stay separate ops — fusing them into one
+    # indexing expression routes through a gather Mosaic can't lower.
+    # (Folding the sublane-side add into the matmul as an extra K-column was
+    # tried and is SLOWER: the (TN, Ms) lane->sublane relayout of vpp costs
+    # more than the saved VPU add pass.)
+    vpp_s = jax.lax.slice_in_dim(vpp, 0, ms, axis=1)              # (TN, Ms)
+    lp = bt + vpp_s[:, :, None] + vpp[:, None, :]
+    psi2 = jnp.sum(jnp.exp2(lp), axis=0)                          # (Ms, Ml)
     return psi1y, psi2
 
 
@@ -137,38 +171,44 @@ def _fwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
         p1y_ref[:] = jnp.zeros_like(p1y_ref)
         p2_ref[:] = jnp.zeros_like(p2_ref)
 
+    ms = p2_ref.shape[0]
     p1y, p2 = _tile_stats(
         mu_ref[:], s_ref[:], yw_ref[:], w_ref[:], z_ref[:], z2_ref[:],
-        alpha_ref[:], logsf2_ref[:], m_real,
+        alpha_ref[:], logsf2_ref[:], m_real, ms,
     )
     p1y_ref[:] += p1y
     p2_ref[:] += p2
 
 
 def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
-                alpha_ref, logsf2_ref, dp1y_ref, dp2s_ref, zhiT_ref, zloT_ref,
+                alpha_ref, logsf2_ref, dp1y_ref, dp2s_ref, zhilo_ref,
                 dmu_ref, ds_ref, dyw_ref, dz_ref, dzt_ref, dalpha_ref,
-                dlogsf2_ref, *, m_real: int, split_h: bool = True):
-    """Hand-fused backward: one pass over the (TN, Mp, Mp) tensor.
+                dlogsf2_ref, *, m_real: int, ms: int):
+    """Hand-fused backward: one pass over the (TN, Ms, Ml) tensor.
 
-    With E_n = exp(lp_n) (symmetric) and dp2s the SYMMETRIZED Psi2 cotangent
-    (valid: Psi2 is symmetric, so only the symmetric part of its cotangent
-    contributes), let G_n = E_n * dp2s (symmetric). Exactly:
+    With E_n = exp(lp_n) (symmetric over the real M×M square) and dp2s the
+    SYMMETRIZED Psi2 cotangent (valid: Psi2 is symmetric, so only the
+    symmetric part of its cotangent contributes), let G_n = E_n * dp2s
+    (symmetric). Exactly (in base-2 log units, hence the ln2 factors):
 
-      d vpp_n[m]  = 2 sum_m' G_n[m, m']              (ones column of H)
+      d vpp_n[m]  = 2·ln2 sum_m' G_n[m, m']          (ones column of H)
       d coef_nq   = sum_{m,m'} G_n[m,m'] z_mq z_m'q  = sum_m z[m,q] H_n[m,q]
       d z[m,q]   += 2 sum_n coef_nq H_n[m,q]         (direct bt path)
-      with H_n = G_n @ [z, 1].
+      with H_n = ln2 · G_n @ [z, 1].
 
-    H uses a 2-term compensated product ([G_hi|G_lo] against [zext_hi block;
-    zext_lo block]) — only the G_lo*z_lo term (~4e-6 relative) is dropped, at
-    one-third the MXU passes of HIGHEST. All 2-D chains (lq, vpp, coef and
-    their dependence on mu, s, z, alpha, log sf2) go through jax.vjp of
-    _tile_2d — no hand-derived chain rules beyond the identities above.
+    H uses a 2-term compensated product: G is split into bf16 hi/lo halves
+    (kept in bf16 — half the MXU read bandwidth), the pre-split bf16
+    [z_hi;z_lo] rows contract against G_hi in ONE stacked MXU pass and z_hi
+    against G_lo in a second. Only z_lo·G_lo (~(0.4%)² relative) and the
+    bf16 rounding of G_lo (same order) are dropped — negligible in a
+    gradient. All 2-D chains (lq, vpp, coef and their dependence on mu, s,
+    z, alpha, log sf2) go through jax.vjp of _tile_2d — no hand-derived
+    chain rules beyond the identities above.
     """
     f32 = jnp.float32
     tn, qp = mu_ref.shape
-    mp = z_ref.shape[0]
+    ml = z_ref.shape[0]
+    kk = qp + 1
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -177,7 +217,7 @@ def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
         dalpha_ref[:] = jnp.zeros_like(dalpha_ref)
         dlogsf2_ref[:] = jnp.zeros_like(dlogsf2_ref)
 
-    neg_pad, logw = _mask_and_logw(mu_ref[:], w_ref[:], mp, m_real)
+    neg_pad, logw = _mask_and_logw(mu_ref[:], w_ref[:], ml, m_real)
     alphab = jnp.broadcast_to(alpha_ref[:], (tn, qp))
 
     def small_fn(mu, s, z, alphab, logsf2):
@@ -188,61 +228,55 @@ def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
     )
 
     # ---- Psi1 path ----
-    psi1 = jnp.exp(lq)
-    dpsi1 = _comp_dg(yw_ref[:], dp1y_ref[:], 1, 1)       # (TN, Mp)
-    dlq = dpsi1 * psi1
+    psi1 = jnp.exp2(lq)
+    dpsi1 = _comp_dg(yw_ref[:], dp1y_ref[:], 1, 1)       # (TN, Ml)
+    dlq = (_LN2 * dpsi1) * psi1
     dyw_ref[:] = _comp_dg(psi1, dp1y_ref[:], 1, 0)       # (TN, D)
 
     # ---- Psi2 3-D path ----
     z = z_ref[:]
-    zc = (z[None, :, :] * coef[:, None, :]).reshape(tn * mp, qp)
-    bt = compensated_dot(zc, z).reshape(tn, mp, mp)
-    e = jnp.exp(bt + vpp[:, :, None] + vpp[:, None, :])
-    g2 = (e * dp2s_ref[:][None, :, :]).reshape(tn * mp, mp)
+    zs = z[:ms]
+    zc = (zs[None, :, :] * coef[:, None, :]).reshape(tn * ms, qp)
+    bt = compensated_dot(zc, z).reshape(tn, ms, ml)
+    vpp_s = jax.lax.slice_in_dim(vpp, 0, ms, axis=1)              # (TN, Ms)
+    e = jnp.exp2(bt + vpp_s[:, :, None] + vpp[:, None, :])
+    g2 = (e * dp2s_ref[:][None, :, :]).reshape(tn * ms, ml)
+    # NB: rungs via Veltkamp rounding, NOT astype round-trips — the
+    # compiler's excess-precision simplification folds cast round-trips,
+    # silently zeroing the mid/lo rungs (see precise._round_bf16).
+    # The MXU operand is a plain bf16 cast (safe: used AS bf16, never
+    # round-tripped back); the residual comes from the Veltkamp-rounded
+    # value, which equals the cast's RNE value without an extra f32 buffer.
+    g_hi = g2.astype(jnp.bfloat16)                       # (TN·Ms, Ml) bf16
+    g_lo = (g2 - _round_bf16(g2)).astype(jnp.bfloat16)
 
-    # H^T[k, n*m] = sum_m' zext[m',k] G[n*m, m'], in the lane-friendly
-    # transposed orientation (output rows = Q+1, lanes = TN*Mp; K = Mp fills
-    # the MXU). 2-term compensation as three DEFAULT dots over EXPLICIT bf16
-    # hi/lo splits (backend-independent): only z_lo@G_lo (~(0.4%)^2 of G) is
-    # dropped — negligible in a gradient.
-    kk = qp + 1
-    if split_h:
-        g_hi = g2.astype(jnp.bfloat16).astype(f32)
-        g_lo = g2 - g_hi
-        hxt = (
-            jax.lax.dot_general(zhiT_ref[:], g_hi, (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32)
-            + jax.lax.dot_general(zloT_ref[:], g_hi, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=f32)
-            + jax.lax.dot_general(zhiT_ref[:], g_lo, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=f32)
-        )                                                         # (Qp+1, TN*Mp)
-    else:
-        # low-VMEM variant for large M: no g_hi/g_lo buffers, one HIGHEST dot
-        zext_t = zhiT_ref[:] + zloT_ref[:]
-        hxt = jax.lax.dot_general(
-            zext_t, g2, (((1,), (1,)), ((), ())), preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    h3 = hxt.reshape(kk, tn, mp)
+    # H^T[k, n·m] = sum_m' zext[m',k] G[n·m, m'], in the lane-friendly
+    # transposed orientation (output rows = Q+1, lanes = TN·Ms; K = Ml fills
+    # the MXU). 2-way bf16 splits on both sides (~2^-16/product): both z
+    # rungs ride ONE stacked pass against G_hi, z_hi against G_lo — only
+    # z_lo·G_lo (~2^-32) is dropped. Measured 1.4e-4-class p2 gradients vs
+    # a float64 oracle (XLA-HIGHEST parity); a 3-rung ladder bought nothing
+    # further at +60ms.
+    zl3 = zhilo_ref[:]                                   # (2(Qp+1), Ml) bf16
+    dn = (((1,), (1,)), ((), ()))
+    hx2 = jax.lax.dot_general(zl3, g_hi, dn, preferred_element_type=f32)
+    hx1 = jax.lax.dot_general(zl3[:kk], g_lo, dn, preferred_element_type=f32)
+    hxt = (hx2[:kk] + hx2[kk:]) + hx1
+    h3 = (_LN2 * hxt).reshape(kk, tn, ms)
 
-    dvpp = 2.0 * h3[qp]                                           # (TN, Mp)
-    dcoef = jnp.concatenate(
-        [
-            jax.lax.dot_general(h3[qi], z[:, qi : qi + 1], (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32,
-                                precision=jax.lax.Precision.HIGHEST)
-            for qi in range(qp)
-        ],
-        axis=1,
-    )                                                             # (TN, Qp)
-    dzt_ref[:] += jnp.concatenate(
-        [
-            2.0 * jnp.sum(coef[:, qi : qi + 1] * h3[qi], axis=0, keepdims=True)
-            for qi in range(qp)
-        ],
-        axis=0,
-    )                                                             # (Qp, Mp)
+    # dvpp: both (m, m') occurrences collapse onto the row side by symmetry;
+    # lane-pad Ms -> Ml to feed vpp's cotangent.
+    dvpp = 2.0 * h3[qp]
+    if ms != ml:
+        dvpp = jnp.concatenate(
+            [dvpp, jnp.zeros((tn, ml - ms), f32)], axis=1
+        )                                                         # (TN, Ml)
+    zst = (
+        zl3[:qp, :ms].astype(f32) + zl3[kk : kk + qp, :ms].astype(f32)
+    )                                                             # (Qp, Ms)
+    hq = h3[:qp]                                                  # (Qp, TN, Ms)
+    dcoef = jnp.sum(hq * zst[:, None, :], axis=2).T               # (TN, Qp)
+    dzt_ref[:] += 2.0 * jnp.sum(hq * coef.T[:, :, None], axis=1)  # (Qp, Ms)
 
     # ---- 2-D chains ----
     dmu, ds, dz2d, dalphab, dlogsf2 = vjp2((dlq, dvpp, dcoef))
@@ -260,7 +294,7 @@ def _pad_inputs(mu, s, yw, w, z, tile):
     npad = _round_up(n, tile)
     # Qp: lane-dim efficiency is irrelevant for (TN, Q) ops; pad to >= 1 only.
     qp = q
-    mp = _round_up(max(m, 128), 128)
+    _, ml = _m_dims(m)
 
     if npad != n:
         ones = jnp.ones((npad - n, q), mu.dtype)
@@ -268,13 +302,13 @@ def _pad_inputs(mu, s, yw, w, z, tile):
         s = jnp.concatenate([s, ones], 0)
         yw = jnp.concatenate([yw, jnp.zeros((npad - n, yw.shape[1]), yw.dtype)], 0)
         w = jnp.concatenate([w, jnp.zeros((npad - n,), w.dtype)], 0)
-    if mp != m:
-        z = jnp.concatenate([z, jnp.zeros((mp - m, z.shape[1]), z.dtype)], 0)
-    return mu, s, yw, w, z, npad, qp, mp
+    if ml != m:
+        z = jnp.concatenate([z, jnp.zeros((ml - m, z.shape[1]), z.dtype)], 0)
+    return mu, s, yw, w, z, npad, qp, ml
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def psi_fused(mu, s, z, sf2, alpha, yw, w_arr, tile: int = 16,
+def psi_fused(mu, s, z, sf2, alpha, yw, w_arr, tile: int = 32,
               interpret: bool = False):
     """Fused (Psi1^T(w·Y), sum_n w_n Psi2_n) via the Pallas kernel.
 
@@ -286,19 +320,27 @@ def psi_fused(mu, s, z, sf2, alpha, yw, w_arr, tile: int = 16,
     return out
 
 
-def _fit_tile(tile: int, mp: int, budget_elems: int) -> int:
-    """Cap the N-tile so the (TN, Mp, Mp) VMEM working set stays on-chip for
-    any M (the 16MB VMEM that fits TN=32 at Mp=256 only fits TN=8 at 512)."""
-    return max(2, min(tile, budget_elems // (mp * mp)))
+# VMEM element budgets for the (TN, Ms, Ml) working set, calibrated on a
+# v5e: forward keeps ~2 big f32 buffers live, backward ~3 f32 + 2 bf16.
+_FWD_BUDGET = 64 * 256 * 256
+_BWD_BUDGET = 32 * 256 * 256
+
+
+def _fit_tile(tile: int, ms: int, ml: int, budget_elems: int) -> int:
+    """Cap the N-tile so the (TN, Ms, Ml) VMEM working set stays on-chip for
+    any M, honoring the caller's tile when it already fits. Multiples of 8:
+    the (tile, Q) N-blocks need sublane-divisible block shapes."""
+    t = min(tile, budget_elems // (ms * ml))
+    return max(8, t - (t % 8))
 
 
 def _call_fwd(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret):
     d = yw.shape[1]
     m = z.shape[0]
     dtype = mu.dtype
-    mp_probe = _round_up(max(m, 128), 128)
-    tile = _fit_tile(tile, mp_probe, 32 * 256 * 256)
-    mu_p, s_p, yw_p, w_p, z_p, npad, qp, mp = _pad_inputs(mu, s, yw, w_arr, z, tile)
+    ms, ml = _m_dims(m)
+    tile = _fit_tile(tile, ms, ml, _FWD_BUDGET)
+    mu_p, s_p, yw_p, w_p, z_p, npad, qp, ml = _pad_inputs(mu, s, yw, w_arr, z, tile)
     z2_p = z_p * z_p
     alpha_row = alpha.reshape(1, qp).astype(dtype)
     logsf2 = jnp.log(jnp.asarray(sf2, dtype)).reshape(1, 1)
@@ -313,18 +355,18 @@ def _call_fwd(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret):
             pl.BlockSpec((tile, qp), lambda i: (i, 0)),        # s
             pl.BlockSpec((tile, d), lambda i: (i, 0)),         # yw
             pl.BlockSpec((tile, 1), lambda i: (i, 0)),         # w
-            pl.BlockSpec((mp, qp), lambda i: (0, 0)),          # z
-            pl.BlockSpec((mp, qp), lambda i: (0, 0)),          # z2
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),          # z
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),          # z2
             pl.BlockSpec((1, qp), lambda i: (0, 0)),           # alpha
             pl.BlockSpec((1, 1), lambda i: (0, 0)),            # log sf2
         ],
         out_specs=[
-            pl.BlockSpec((mp, d), lambda i: (0, 0)),
-            pl.BlockSpec((mp, mp), lambda i: (0, 0)),
+            pl.BlockSpec((ml, d), lambda i: (0, 0)),
+            pl.BlockSpec((ms, ml), lambda i: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((mp, d), dtype),
-            jax.ShapeDtypeStruct((mp, mp), dtype),
+            jax.ShapeDtypeStruct((ml, d), dtype),
+            jax.ShapeDtypeStruct((ms, ml), dtype),
         ],
         interpret=interpret,
     )(mu_p, s_p, yw_p, w_p.reshape(-1, 1), z_p, z2_p, alpha_row, logsf2)
@@ -343,30 +385,37 @@ def _psi_fused_bwd(tile, interpret, res, cots):
     m = z.shape[0]
     dtype = mu.dtype
     n = mu.shape[0]
-    q = mu.shape[1]
 
-    # The hand-fused backward keeps ~3 (TN, Mp, Mp) buffers live (bt, E, G);
-    # tile 8 fits the 16MB VMEM at Mp=256 with headroom.
-    tile = 8
+    _, ml = _m_dims(m)
+    # The backward's h3 reshape (kk, TN·Ms) -> (kk, TN, Ms) is a Mosaic
+    # shape cast that only lowers when the new minor dim is lane-aligned,
+    # so the backward runs symmetric Ms = Ml (the forward keeps the
+    # asymmetric savings). It keeps ~3 (TN, Ml, Ml) f32 buffers + 2 bf16
+    # splits live; honor the caller's tile whenever that fits VMEM.
+    ms = ml
+    tile = _fit_tile(tile, ms, ml, _BWD_BUDGET)
 
-    mu_p, s_p, yw_p, w_p, z_p, npad, qp, mp = _pad_inputs(mu, s, yw, w_arr, z, tile)
+    mu_p, s_p, yw_p, w_p, z_p, npad, qp, ml = _pad_inputs(mu, s, yw, w_arr, z, tile)
     z2_p = z_p * z_p
     alpha_row = alpha.reshape(1, qp).astype(dtype)
     logsf2 = jnp.log(jnp.asarray(sf2, dtype)).reshape(1, 1)
-    dp1y_p = jnp.zeros((mp, d), dtype).at[:m].set(dp1y)
+    dp1y_p = jnp.zeros((ml, d), dtype).at[:m].set(dp1y)
     # Psi2 is symmetric, so only the symmetric part of its cotangent acts;
     # the fused backward exploits G = E * dp2s being symmetric.
     dp2s = 0.5 * (dp2 + dp2.T)
-    dp2_p = jnp.zeros((mp, mp), dtype).at[:m, :m].set(dp2s)
+    dp2_p = jnp.zeros((ms, ml), dtype).at[:m, :m].set(dp2s)
     grid = npad // tile
 
     kk = qp + 1
-    zext = jnp.concatenate([z_p, jnp.ones((mp, 1), dtype)], axis=1)
-    zext_hi = zext.astype(jnp.bfloat16).astype(dtype)
-    zhi_t = zext_hi.T                                     # (Qp+1, Mp)
-    zlo_t = (zext - zext_hi).T
+    zext = jnp.concatenate([z_p, jnp.ones((ml, 1), dtype)], axis=1)
+    # Veltkamp rounding, not astype round-trips (see precise._round_bf16).
+    zext_hi = _round_bf16(zext)
+    # Stacked [z_hi; z_lo]^T rungs, stored bf16.
+    zhilo = jnp.concatenate(
+        [zext_hi.T, (zext - zext_hi).T], axis=0
+    ).astype(jnp.bfloat16)                                # (2(Qp+1), Ml)
 
-    kernel = functools.partial(_bwd_kernel, m_real=m, split_h=(mp <= 256))
+    kernel = functools.partial(_bwd_kernel, m_real=m, ms=ms)
     dmu, ds, dyw, dz, dzt, dalpha, dlogsf2 = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -375,21 +424,20 @@ def _psi_fused_bwd(tile, interpret, res, cots):
             pl.BlockSpec((tile, qp), lambda i: (i, 0)),
             pl.BlockSpec((tile, d), lambda i: (i, 0)),
             pl.BlockSpec((tile, 1), lambda i: (i, 0)),
-            pl.BlockSpec((mp, qp), lambda i: (0, 0)),
-            pl.BlockSpec((mp, qp), lambda i: (0, 0)),
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),
             pl.BlockSpec((1, qp), lambda i: (0, 0)),
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
-            pl.BlockSpec((mp, d), lambda i: (0, 0)),           # dp1y
-            pl.BlockSpec((mp, mp), lambda i: (0, 0)),          # dp2s
-            pl.BlockSpec((kk, mp), lambda i: (0, 0)),          # zext_hi^T
-            pl.BlockSpec((kk, mp), lambda i: (0, 0)),          # zext_lo^T
+            pl.BlockSpec((ml, d), lambda i: (0, 0)),           # dp1y
+            pl.BlockSpec((ms, ml), lambda i: (0, 0)),          # dp2s
+            pl.BlockSpec((2 * kk, ml), lambda i: (0, 0)),      # [z_hi; z_lo]^T
         ],
         out_specs=[
             pl.BlockSpec((tile, qp), lambda i: (i, 0)),        # dmu
             pl.BlockSpec((tile, qp), lambda i: (i, 0)),        # ds
             pl.BlockSpec((tile, d), lambda i: (i, 0)),         # dyw
-            pl.BlockSpec((mp, qp), lambda i: (0, 0)),          # dz (2-D chains) acc
-            pl.BlockSpec((qp, mp), lambda i: (0, 0)),          # dz (direct, transposed) acc
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),          # dz (2-D chains) acc
+            pl.BlockSpec((qp, ms), lambda i: (0, 0)),          # dz (direct, transposed) acc
             pl.BlockSpec((1, qp), lambda i: (0, 0)),           # dalpha acc
             pl.BlockSpec((1, 1), lambda i: (0, 0)),            # dlogsf2 acc
         ],
@@ -397,14 +445,14 @@ def _psi_fused_bwd(tile, interpret, res, cots):
             jax.ShapeDtypeStruct((npad, qp), dtype),
             jax.ShapeDtypeStruct((npad, qp), dtype),
             jax.ShapeDtypeStruct((npad, d), dtype),
-            jax.ShapeDtypeStruct((mp, qp), dtype),
-            jax.ShapeDtypeStruct((qp, mp), dtype),
+            jax.ShapeDtypeStruct((ml, qp), dtype),
+            jax.ShapeDtypeStruct((qp, ms), dtype),
             jax.ShapeDtypeStruct((1, qp), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ],
         interpret=interpret,
     )(mu_p, s_p, yw_p, w_p.reshape(-1, 1), z_p, z2_p, alpha_row, logsf2,
-      dp1y_p, dp2_p, zhi_t, zlo_t)
+      dp1y_p, dp2_p, zhilo)
 
     # sf2 entered the kernel as log(sf2); chain that scalar transform here.
     dmu = dmu[:n]
@@ -422,7 +470,7 @@ psi_fused.defvjp(_psi_fused_fwd, _psi_fused_bwd)
 
 def suff_stats(
     y, mu, s, z, sf2, alpha,
-    weights=None, tile: int = 16, interpret: bool = None,
+    weights=None, tile: int = 32, interpret: bool = None,
 ) -> SufficientStats:
     """Drop-in replacement for psi.suff_stats (GPLVM path) using the fused
     Pallas kernel for the two heavy statistics; psi0/yy/KL are cheap
