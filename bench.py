@@ -88,6 +88,23 @@ def main():
     impl_best = min(results, key=results.get)
     dt = results[impl_best]
     evals_per_sec = 1.0 / dt
+
+    # Psi-stats FLOP model (BASELINE.md "tracked metrics"): the fused
+    # bound+grad eval does the O(N·M²·Q) Psi2 chain twice (fwd + bwd remat),
+    # ~2(Q+2) flops per (n, m, m') cell plus one transcendental each pass.
+    flops = 2 * n * m * m * (2 * (q + 2))
+    gflops = flops / dt / 1e9
+
+    # Config-5 scale datapoint: M=500 at N=1e5 (same kernel, lane-boundary
+    # tile path), pallas engine only.
+    m500 = {}
+    try:
+        m500_dt = measure_shape(jax, jnp, devs, mesh=None, n=100_000, m=500,
+                                q=q, d=d, dtype=dtype)
+        m500 = {"m500_n1e5_sec": round(m500_dt, 4)}
+    except Exception:
+        pass
+
     detail = ", ".join(f"{k}={v:.3f}s" for k, v in sorted(results.items()))
     print(
         json.dumps(
@@ -99,9 +116,45 @@ def main():
                 "value": round(evals_per_sec, 4),
                 "unit": "evals/sec",
                 "vs_baseline": round(evals_per_sec / 1.0, 4),
+                "psi_gflops": round(gflops, 1),
+                **m500,
             }
         )
     )
+
+
+def measure_shape(jax, jnp, devs, mesh, n, m, q, d, dtype):
+    """One fused bound+grad eval time at an arbitrary shape (pallas engine)."""
+    import numpy as np
+    from gparml_tpu.models import gplvm
+    from gparml_tpu.models import params as P
+
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.standard_normal((n, d)), dtype=dtype)
+    mu = jnp.asarray(rng.standard_normal((n, q)), dtype=dtype)
+    s = jnp.full((n, q), 0.5, dtype=dtype)
+    z = jnp.asarray(rng.standard_normal((m, q)), dtype=dtype)
+    glob = P.make_global(z, 1.0, np.ones(q), 10.0)
+    glob = jax.tree.map(lambda a: a.astype(dtype), glob)
+    params = P.GPLVMParams(glob=glob, lat=P.make_latents(mu, s))
+    cfg = gplvm.GPLVMConfig(q=q, num_inducing=m, block=4000,
+                            stats_impl="pallas", pallas_tile=32)
+
+    @jax.jit
+    def eval_once(p, y):
+        return gplvm.neg_bound_value_and_grad(p, y, cfg, mesh=None, weights=None)
+
+    out = eval_once(params, y)
+    float(out[0])
+    times = []
+    for i in range(3):
+        g = params.glob._replace(u_beta=params.glob.u_beta + np.float32((i + 1) * 1e-3))
+        p_i = params._replace(glob=g)
+        t0 = time.perf_counter()
+        out = eval_once(p_i, y)
+        float(out[0])
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 if __name__ == "__main__":

@@ -73,7 +73,12 @@ def bound_from_stats(
         eps_p2 = 1e-6 * (tr_p2 / m) + jnp.asarray(1e-30, dtype)
         lp_f = jnp.linalg.cholesky(stats.psi2 + eps_p2 * jnp.eye(m, dtype=dtype))
         w = solve_triangular(lm, lp_f, lower=True)
-        tr_kinv_psi2 = jnp.sum(w * w)
+        # Clamp to the exact inequality tr(K_MM^-1 Psi2) <= psi0 (per point,
+        # <q_nn> <= <k_nn>): float32 solves through an ill-conditioned Lm
+        # can overshoot it by O(eps*kappa^2), and an optimizer will then
+        # drive kappa up to mine the artifact (beta/sf2 runaway, alpha -> 0
+        # — observed). The clamp zeroes the artifact's gradient instead.
+        tr_kinv_psi2 = jnp.minimum(jnp.sum(w * w), stats.psi0)
         b = jnp.eye(m, dtype=dtype) + beta * jnp.matmul(
             w, w.T, precision="highest"
         )
@@ -84,6 +89,11 @@ def bound_from_stats(
     c1 = solve_triangular(lm, stats.psi1_y, lower=True)
     cb = solve_triangular(lb, c1, lower=True)
     quad = jnp.sum(cb * cb)
+    if dtype != jnp.float64:
+        # Exact inequality beta^2 quad <= beta yy (A >= beta Psi2 >= beta
+        # Psi1^T Psi1 since per-point <k k^T> - <k><k>^T is a covariance);
+        # same float32 overshoot protection as the trace clamp above.
+        quad = jnp.minimum(quad, stats.yy / beta)
 
     f = (
         -n_f * d * _HALF_LOG_2PI

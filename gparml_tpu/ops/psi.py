@@ -153,6 +153,7 @@ def suff_stats(
     alpha,
     block: Optional[int] = None,
     weights: Optional[jnp.ndarray] = None,
+    vary_axis: Optional[str] = None,
 ) -> SufficientStats:
     """Sufficient statistics {psi0, Psi1^T Y, sum Psi2, sum y^2, KL, n}.
 
@@ -168,6 +169,9 @@ def suff_stats(
       weights: optional (N,) per-point weights (0/1 masks for padded shards,
          or fractional weights for minibatch scaling). All statistics become
          sum_n w_n * (...); ``n`` becomes sum_n w_n.
+      vary_axis: mesh axis name when called inside a shard_map body with
+         varying-manual-axes checking on — the blocked scan's zero init must
+         be marked device-varying (lax.pvary) to type-match the carry.
 
     Returns SufficientStats with dtype following the inputs.
     """
@@ -223,5 +227,7 @@ def suff_stats(
         jnp.zeros((m, d), dtype=y.dtype),
         jnp.zeros((m, m), dtype=y.dtype),
     )
+    if vary_axis is not None:
+        init = jax.lax.pvary(init, vary_axis)
     (p1y, p2), _ = jax.lax.scan(body, init, xs)
     return SufficientStats(psi0, p1y, p2, yy, kl, n_f)

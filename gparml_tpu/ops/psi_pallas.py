@@ -114,7 +114,10 @@ def _mask_and_logw(mu, w, ml, m_real):
     ).astype(mu.dtype) * _NEG_BIG                                 # (1, Ml)
     # Clamp log(0) -> -1e30 instead of -inf: vpp rides through a hi/lo-split
     # matmul (the folded bt column), and -inf minus its bf16 half is NaN.
-    logw = jnp.maximum(jnp.log(w), _NEG_BIG)                      # (TN, 1)
+    # w*0 + NEG keeps the clamp constant device-varying like w itself —
+    # a bare literal trips shard_map's varying-manual-axes check in the
+    # interpret path.
+    logw = jnp.maximum(jnp.log(w), w * 0.0 + _NEG_BIG)            # (TN, 1)
     return neg_pad, logw
 
 

@@ -29,14 +29,17 @@ from gparml_tpu.ops import psi_pallas
 from gparml_tpu.parallel.mesh import DATA_AXIS
 
 
-def _local_stats(y, mu, s, z, sf2, alpha, block, weights, impl, tile):
+def _local_stats(y, mu, s, z, sf2, alpha, block, weights, impl, tile,
+                 vary_axis=None):
     if impl == "auto":
         # fused kernel on TPU; XLA scan elsewhere (Pallas would run in the
         # slow interpreter off-TPU)
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas" and s is not None:
-        return psi_pallas.suff_stats(y, mu, s, z, sf2, alpha, weights=weights, tile=tile)
-    return psi.suff_stats(y, mu, s, z, sf2, alpha, block=block, weights=weights)
+        return psi_pallas.suff_stats(y, mu, s, z, sf2, alpha, weights=weights,
+                                     tile=tile)
+    return psi.suff_stats(y, mu, s, z, sf2, alpha, block=block, weights=weights,
+                          vary_axis=vary_axis)
 
 
 def suff_stats_sharded(
@@ -63,10 +66,17 @@ def suff_stats_sharded(
     """
     has_s = s is not None
     has_w = weights is not None
+    if impl == "auto":
+        impl_resolved = "pallas" if jax.default_backend() == "tpu" else "xla"
+    else:
+        impl_resolved = impl
+    if not has_s:
+        impl_resolved = "xla"  # SGPR statistics always take the XLA path
 
     def local(y, mu, s_or_none, w_or_none, z, sf2, alpha):
         st = _local_stats(
-            y, mu, s_or_none, z, sf2, alpha, block, w_or_none, impl, tile
+            y, mu, s_or_none, z, sf2, alpha, block, w_or_none, impl, tile,
+            vary_axis=axis,
         )
         return jax.tree.map(lambda t: jax.lax.psum(t, axis), st)
 
@@ -87,10 +97,15 @@ def suff_stats_sharded(
         mesh=mesh,
         in_specs=(sharded, sharded, sharded, sharded, rep, rep, rep),
         out_specs=rep,
-        # The Pallas psi kernel's custom_vjp is opaque to the static
-        # replication checker; the specs are validated by the
+        # The XLA impl runs with the static varying-manual-axes checker ON
+        # (the blocked scan's zero init is pvary'd, see psi.suff_stats).
+        # The Pallas impl cannot: its interpret-mode body inlines into the
+        # shard_map trace where in-kernel constants (iota masks, clamp
+        # literals) are unvarying and lax.pvary has no Mosaic lowering; the
+        # compiled path's pallas_call is opaque to the checker either way.
+        # Replication of the Pallas path is guarded by the
         # partition-invariance tests instead.
-        check_vma=False,
+        check_vma=impl_resolved != "pallas",
     )
     return fn(y, mu, dummy_s, dummy_w, z, sf2, alpha)
 

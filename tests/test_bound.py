@@ -143,3 +143,36 @@ def test_bound_invariant_to_inducing_permutation(rng):
     np.testing.assert_allclose(
         float(f(jnp.asarray(z))), float(f(jnp.asarray(z[perm]))), rtol=1e-10
     )
+
+
+def test_f32_bound_bounded_under_ill_conditioning(rng):
+    """float32 anti-runaway clamps (bound.py): at near-singular K_MM the f32
+    solves can overshoot the exact inequalities tr(K_MM^-1 Psi2) <= psi0 and
+    beta^2 quad <= beta yy, handing an optimizer an unbounded artifact to
+    climb (observed: beta -> 2e4, sf2 -> 1e3 on a vanilla 1-D SGPR fit). The
+    clamped f32 bound must stay within noise of the float64 truth even at
+    the pathological hypers that previously blew it up."""
+    n, d, q, m = 400, 1, 1, 12
+    x = np.sort(rng.uniform(-3, 3, (n, q)), axis=0)
+    y = np.sin(1.5 * x) + 0.2 * rng.standard_normal((n, d))
+    z = np.linspace(-3, 3, m)[:, None]
+    # long lengthscale + large sf2/beta: K_MM nearly rank-1 in f32
+    sf2, alpha, beta = 975.0, np.array([0.0188]), 22539.0
+
+    def f(dt):
+        st = psi.suff_stats(
+            jnp.asarray(y, dt), jnp.asarray(x, dt), None, jnp.asarray(z, dt),
+            jnp.asarray(sf2, dt), jnp.asarray(alpha, dt),
+        )
+        return float(bound.bound_from_stats(
+            st, jnp.asarray(z, dt), jnp.asarray(sf2, dt), jnp.asarray(alpha, dt),
+            jnp.asarray(beta, dt), d=d,
+        ))
+
+    f32 = f(jnp.float32)
+    # Pre-clamp this overshot to ~+5e9 (and the optimizer climbed it); the
+    # true bound at these hypers is hugely negative (the f64 path itself
+    # NaNs at condition ~1e17, so finite-and-negative is the assertable
+    # contract). A lower bound guards against the clamps overshooting the
+    # other way.
+    assert np.isfinite(f32) and -1e9 < f32 < 0.0, f32

@@ -1,0 +1,79 @@
+"""Subprocess body for the real-TPU smoke test (see test_tpu_smoke.py).
+
+Runs OUTSIDE the test conftest (which forces the CPU backend), so the fused
+Pallas kernel goes through the real Mosaic compile. Exit codes:
+  0  — parity holds on hardware
+  3  — no TPU backend available (test skips)
+  1  — parity failure / crash
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return 3
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+
+    from gparml_tpu.ops import psi, psi_pallas
+
+    F = jnp.float32
+    failures = []
+    # M=200 hits the asymmetric-padding forward; M=512 hits the lane-boundary
+    # tile (Ms == Ml == 512, minimum backward tile).
+    for n, m, q, d in ((64, 200, 10, 12), (24, 512, 10, 12)):
+        rng = np.random.default_rng(m)
+        y = jnp.asarray(rng.standard_normal((n, d)), F)
+        mu = jnp.asarray(rng.standard_normal((n, q)), F)
+        s = jnp.asarray(0.3 + 0.5 * rng.random((n, q)), F)
+        z = jnp.asarray(rng.standard_normal((m, q)), F)
+        sf2 = jnp.float32(1.3)
+        alpha = jnp.asarray(0.5 + rng.random(q), F)
+        wy = jnp.asarray(rng.standard_normal((m, d)), F)
+        wp = jnp.asarray(rng.standard_normal((m, m)), F)
+
+        def obj(fn):
+            def f(mu, s, z, sf2, alpha):
+                p1y, p2 = fn(mu, s, z, sf2, alpha)
+                return jnp.sum(p1y * wy) * 1e-2 + jnp.sum(p2 * wp) * 1e-3
+            return jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 4)))(
+                mu, s, z, sf2, alpha
+            )
+
+        def pallas_fn(mu, s, z, sf2, alpha):
+            w = jnp.ones((n,), F)
+            return psi_pallas.psi_fused(mu, s, z, sf2, alpha, y, w, 32, False)
+
+        def xla_fn(mu, s, z, sf2, alpha):
+            st = psi.suff_stats(y, mu, s, z, sf2, alpha)
+            return st.psi1_y, st.psi2
+
+        vp, gp = obj(pallas_fn)
+        vx, gx = obj(xla_fn)
+        if not np.isclose(float(vp), float(vx), rtol=2e-4):
+            failures.append(f"M={m}: value {float(vp)} vs {float(vx)}")
+        for name, a, b in zip("mu s z alpha".split(), gp, gx):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            err = np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-12)
+            # Both paths are ~1.5e-4 from float64 truth (measured); allow 2x.
+            if err > 1e-3:
+                failures.append(f"M={m} grad {name}: rel err {err:.2e}")
+
+    if failures:
+        print("\n".join(failures))
+        return 1
+    print("tpu smoke: pallas fwd+bwd matches XLA on hardware (M=200, M=512)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
