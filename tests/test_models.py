@@ -128,3 +128,30 @@ def test_fit_shape_validation():
     with pytest.raises(ValueError, match="config.q"):
         bad = gplvm.GPLVMConfig(q=3, num_inducing=5)
         gplvm.fit(p0, y, bad, iters=1)
+
+
+def test_sgpr_f32_fit_matches_f64_optimum():
+    """float32 SCG fit convergence — the production TPU dtype. Before the
+    bound's anti-runaway clamps (ops/bound.py) this exact fit diverged to
+    beta ~ 2.2e4 / F ~ +5e9 by climbing an ill-conditioning artifact of the
+    f32 trace term; with them it must land at the float64 optimum."""
+    rng = np.random.default_rng(0)
+    n, m = 400, 12
+    x = np.sort(rng.uniform(-3, 3, (n, 1)), axis=0).astype(np.float32)
+    y = (np.sin(1.5 * x) + 0.2 * rng.standard_normal((n, 1))).astype(np.float32)
+
+    cfg = sgpr.SGPRConfig(num_inducing=m)
+    g0 = sgpr.init_params(jax.random.key(0), jnp.asarray(x), jnp.asarray(y), cfg)
+    assert g0.z.dtype == jnp.float32
+    res = sgpr.fit(g0, jnp.asarray(x), jnp.asarray(y), cfg, iters=120)
+
+    hist = np.asarray(res.history)
+    hist = hist[np.isfinite(hist)]
+    assert hist[-1] > hist[0]
+    _, sf2, _, beta = P.constrain(res.params)
+    assert 10.0 < float(beta) < 80.0, float(beta)   # true 25; runaway was 2e4
+    assert float(sf2) < 50.0, float(sf2)            # runaway was ~1e3
+    mean, _ = sgpr.predict(res.params, jnp.asarray(x), jnp.asarray(y),
+                           jnp.asarray(x[:50]), cfg)
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - np.sin(1.5 * x[:50])) ** 2)))
+    assert rmse < 0.15, rmse
