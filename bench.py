@@ -54,7 +54,7 @@ def main():
 
     def measure(impl: str) -> float:
         cfg = gplvm.GPLVMConfig(
-            q=q, num_inducing=m, block=4000, stats_impl=impl, pallas_tile=32
+            q=q, num_inducing=m, block=4000, stats_impl=impl, pallas_tile=64
         )
 
         @jax.jit
@@ -138,7 +138,7 @@ def measure_shape(jax, jnp, devs, mesh, n, m, q, d, dtype):
     glob = jax.tree.map(lambda a: a.astype(dtype), glob)
     params = P.GPLVMParams(glob=glob, lat=P.make_latents(mu, s))
     cfg = gplvm.GPLVMConfig(q=q, num_inducing=m, block=4000,
-                            stats_impl="pallas", pallas_tile=32)
+                            stats_impl="pallas", pallas_tile=64)
 
     @jax.jit
     def eval_once(p, y):

@@ -30,7 +30,7 @@ class GPLVMConfig:
     jitter: float = 1e-6
     block: Optional[int] = None
     stats_impl: str = "auto"         # psi engine: auto (pallas on TPU) | xla | pallas
-    pallas_tile: int = 32
+    pallas_tile: int = 64
     init: str = "pca"                # reference --init {PCA, random}
     s0: float = 0.5                  # initial variational variance
     fixed_embeddings: bool = False   # reference --fixed_embeddings

@@ -167,20 +167,82 @@ def _tile_stats(mu, s, yw, w, z, z2, alpha, log_sf2, m_real: int, ms: int):
     return psi1y, psi2
 
 
+_TRI_BL = 128  # lane-block width for the upper-triangle Psi2 forward
+
+
+def _tri_blocks(ms: int, ml: int):
+    """Static (r0, r1, c0) upper-triangle block list: Psi2 is symmetric, so
+    only blocks with c0 >= r0 are computed; the caller mirrors the rest on
+    the small (Ms, Ml) accumulator. Row blocks clip at Ms."""
+    nb = ml // _TRI_BL
+    out = []
+    for bi in range(nb):
+        r0 = bi * _TRI_BL
+        r1 = min(ms, (bi + 1) * _TRI_BL)
+        if r1 <= r0:
+            break
+        for bj in range(bi, nb):
+            out.append((r0, r1, bj * _TRI_BL))
+    return out
+
+
+def _tile_stats_tri(mu, s, yw, w, z, z2, alpha, log_sf2, m_real: int,
+                    ms: int, p2_ref):
+    """Triangle-tiled forward body: like _tile_stats but exponentiates only
+    the upper-triangle 128-blocks of the symmetric Psi2 (37% less VPU work
+    at M=500, 18% at M=200), accumulating straight into ``p2_ref`` slices.
+    Returns psi1y only."""
+    f32 = jnp.float32
+    tn, qp = mu.shape
+    ml = z.shape[0]
+    neg_pad, logw = _mask_and_logw(mu, w, ml, m_real)
+    lq, vpp, coef = _tile_2d(mu, s, z, z2, alpha, log_sf2, logw, neg_pad)
+
+    psi1 = jnp.exp2(lq)
+    psi1y = jax.lax.dot_general(
+        psi1, yw, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    last_r0 = -1
+    zc_b = vpp_rs = None
+    for r0, r1, c0 in _tri_blocks(ms, ml):
+        rb = r1 - r0
+        if r0 != last_r0:
+            zr = jax.lax.slice_in_dim(z, r0, r1, axis=0)          # (rb, Qp)
+            zc_b = (zr[None, :, :] * coef[:, None, :]).reshape(tn * rb, qp)
+            vpp_rs = jax.lax.slice_in_dim(vpp, r0, r1, axis=1)    # (TN, rb)
+            last_r0 = r0
+        zcl = jax.lax.slice_in_dim(z, c0, c0 + _TRI_BL, axis=0)   # (BL, Qp)
+        bt_b = compensated_dot(zc_b, zcl).reshape(tn, rb, _TRI_BL)
+        vpp_cl = jax.lax.slice_in_dim(vpp, c0, c0 + _TRI_BL, axis=1)
+        lp_b = bt_b + vpp_rs[:, :, None] + vpp_cl[:, None, :]
+        p2_ref[r0:r1, c0 : c0 + _TRI_BL] += jnp.sum(jnp.exp2(lp_b), axis=0)
+    return psi1y
+
+
 def _fwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
-                alpha_ref, logsf2_ref, p1y_ref, p2_ref, *, m_real: int):
+                alpha_ref, logsf2_ref, p1y_ref, p2_ref, *, m_real: int,
+                tri: bool):
     @pl.when(pl.program_id(0) == 0)
     def _():
         p1y_ref[:] = jnp.zeros_like(p1y_ref)
         p2_ref[:] = jnp.zeros_like(p2_ref)
 
     ms = p2_ref.shape[0]
-    p1y, p2 = _tile_stats(
-        mu_ref[:], s_ref[:], yw_ref[:], w_ref[:], z_ref[:], z2_ref[:],
-        alpha_ref[:], logsf2_ref[:], m_real, ms,
-    )
-    p1y_ref[:] += p1y
-    p2_ref[:] += p2
+    if tri:
+        p1y = _tile_stats_tri(
+            mu_ref[:], s_ref[:], yw_ref[:], w_ref[:], z_ref[:], z2_ref[:],
+            alpha_ref[:], logsf2_ref[:], m_real, ms, p2_ref,
+        )
+        p1y_ref[:] += p1y
+    else:
+        p1y, p2 = _tile_stats(
+            mu_ref[:], s_ref[:], yw_ref[:], w_ref[:], z_ref[:], z2_ref[:],
+            alpha_ref[:], logsf2_ref[:], m_real, ms,
+        )
+        p1y_ref[:] += p1y
+        p2_ref[:] += p2
 
 
 def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
@@ -342,14 +404,19 @@ def _call_fwd(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret):
     m = z.shape[0]
     dtype = mu.dtype
     ms, ml = _m_dims(m)
-    tile = _fit_tile(tile, ms, ml, _FWD_BUDGET)
+    # 64 is the largest N-tile that fits the triangle forward's scoped VMEM
+    # at Ml=256 (80 overflows by ~0.9MB); larger never measured faster.
+    tile = _fit_tile(min(tile, 64), ms, ml, _FWD_BUDGET)
     mu_p, s_p, yw_p, w_p, z_p, npad, qp, ml = _pad_inputs(mu, s, yw, w_arr, z, tile)
     z2_p = z_p * z_p
     alpha_row = alpha.reshape(1, qp).astype(dtype)
     logsf2 = jnp.log(jnp.asarray(sf2, dtype)).reshape(1, 1)
     grid = npad // tile
 
-    kernel = functools.partial(_fwd_kernel, m_real=m)
+    # Triangle tiling pays once there are >= 2 lane blocks; at Ml=128 the
+    # single full block is already minimal.
+    tri = ml >= 2 * _TRI_BL
+    kernel = functools.partial(_fwd_kernel, m_real=m, tri=tri)
     p1y, p2 = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -373,6 +440,16 @@ def _call_fwd(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret):
         ],
         interpret=interpret,
     )(mu_p, s_p, yw_p, w_p.reshape(-1, 1), z_p, z2_p, alpha_row, logsf2)
+    if tri:
+        # Mirror the upper-triangle blocks on the small accumulator: the
+        # diagonal blocks were computed fully (and are symmetric), so
+        # U + U^T - (diag blocks of U) restores the full matrix.
+        u = jnp.zeros((ml, ml), dtype).at[:ms].set(p2)
+        nb = ml // _TRI_BL
+        eye_b = jnp.kron(
+            jnp.eye(nb, dtype=dtype), jnp.ones((_TRI_BL, _TRI_BL), dtype)
+        )
+        p2 = u + u.T - u * eye_b
     return p1y[:m], p2[:m, :m]
 
 
