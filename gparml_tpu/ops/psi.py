@@ -228,6 +228,11 @@ def suff_stats(
         jnp.zeros((m, m), dtype=y.dtype),
     )
     if vary_axis is not None:
-        init = jax.lax.pvary(init, vary_axis)
+        # jax.lax.pvary is deprecated in favor of pcast(..., to='varying');
+        # support both so the sharded scan path survives JAX upgrades.
+        if hasattr(jax.lax, "pcast"):
+            init = jax.lax.pcast(init, vary_axis, to="varying")
+        else:
+            init = jax.lax.pvary(init, vary_axis)
     (p1y, p2), _ = jax.lax.scan(body, init, xs)
     return SufficientStats(psi0, p1y, p2, yy, kl, n_f)

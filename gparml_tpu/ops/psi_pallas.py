@@ -248,7 +248,7 @@ def _fwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
 def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
                 alpha_ref, logsf2_ref, dp1y_ref, dp2s_ref, zhilo_ref,
                 dmu_ref, ds_ref, dyw_ref, dz_ref, dzt_ref, dalpha_ref,
-                dlogsf2_ref, *, m_real: int, ms: int):
+                dlogsf2_ref, *, m_real: int, ms: int, lc: int):
     """Hand-fused backward: one pass over the (TN, Ms, Ml) tensor.
 
     With E_n = exp(lp_n) (symmetric over the real M×M square) and dp2s the
@@ -299,22 +299,14 @@ def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
     dyw_ref[:] = _comp_dg(psi1, dp1y_ref[:], 1, 0)       # (TN, D)
 
     # ---- Psi2 3-D path ----
+    # Lane-chunked (lc lanes at a time, lc a 128-multiple dividing Ml) so
+    # the (TN, Ms, lc) working set fits VMEM at any M: every contraction
+    # below sums over lanes, so per-chunk results simply accumulate. At
+    # M<=512 a single chunk (lc=Ml) reproduces the unchunked kernel.
     z = z_ref[:]
     zs = z[:ms]
     zc = (zs[None, :, :] * coef[:, None, :]).reshape(tn * ms, qp)
-    bt = compensated_dot(zc, z).reshape(tn, ms, ml)
     vpp_s = jax.lax.slice_in_dim(vpp, 0, ms, axis=1)              # (TN, Ms)
-    e = jnp.exp2(bt + vpp_s[:, :, None] + vpp[:, None, :])
-    g2 = (e * dp2s_ref[:][None, :, :]).reshape(tn * ms, ml)
-    # NB: rungs via Veltkamp rounding, NOT astype round-trips — the
-    # compiler's excess-precision simplification folds cast round-trips,
-    # silently zeroing the mid/lo rungs (see precise._round_bf16).
-    # The MXU operand is a plain bf16 cast (safe: used AS bf16, never
-    # round-tripped back); the residual comes from the Veltkamp-rounded
-    # value, which equals the cast's RNE value without an extra f32 buffer.
-    g_hi = g2.astype(jnp.bfloat16)                       # (TN·Ms, Ml) bf16
-    g_lo = (g2 - _round_bf16(g2)).astype(jnp.bfloat16)
-
     # H^T[k, n·m] = sum_m' zext[m',k] G[n·m, m'], in the lane-friendly
     # transposed orientation (output rows = Q+1, lanes = TN·Ms; K = Ml fills
     # the MXU). 2-way bf16 splits on both sides (~2^-16/product): both z
@@ -324,18 +316,34 @@ def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
     # further at +60ms.
     zl3 = zhilo_ref[:]                                   # (2(Qp+1), Ml) bf16
     dn = (((1,), (1,)), ((), ()))
-    hx2 = jax.lax.dot_general(zl3, g_hi, dn, preferred_element_type=f32)
-    hx1 = jax.lax.dot_general(zl3[:kk], g_lo, dn, preferred_element_type=f32)
-    hxt = (hx2[:kk] + hx2[kk:]) + hx1
+    hxt = jnp.zeros((kk, tn * ms), f32)
+    for c0 in range(0, ml, lc):
+        zcl = jax.lax.slice_in_dim(z, c0, c0 + lc, axis=0)        # (lc, Qp)
+        bt_c = compensated_dot(zc, zcl).reshape(tn, ms, lc)
+        vpp_cl = jax.lax.slice_in_dim(vpp, c0, c0 + lc, axis=1)
+        e_c = jnp.exp2(bt_c + vpp_s[:, :, None] + vpp_cl[:, None, :])
+        dp2s_c = jax.lax.slice_in_dim(dp2s_ref[:], c0, c0 + lc, axis=1)
+        g2 = (e_c * dp2s_c[None, :, :]).reshape(tn * ms, lc)
+        # NB: rungs via Veltkamp rounding, NOT astype round-trips — the
+        # compiler's excess-precision simplification folds cast round-trips,
+        # silently zeroing the lo rung (see precise._round_bf16). The MXU
+        # operand is a plain bf16 cast (safe: used AS bf16, never
+        # round-tripped back); the residual comes from the Veltkamp-rounded
+        # value, which equals the cast's RNE value without an extra buffer.
+        g_hi = g2.astype(jnp.bfloat16)                   # (TN·Ms, lc) bf16
+        g_lo = (g2 - _round_bf16(g2)).astype(jnp.bfloat16)
+        zl3_c = jax.lax.slice_in_dim(zl3, c0, c0 + lc, axis=1)
+        hx2 = jax.lax.dot_general(zl3_c, g_hi, dn, preferred_element_type=f32)
+        hx1 = jax.lax.dot_general(
+            zl3_c[:kk], g_lo, dn, preferred_element_type=f32
+        )
+        hxt = hxt + (hx2[:kk] + hx2[kk:]) + hx1
     h3 = (_LN2 * hxt).reshape(kk, tn, ms)
 
-    # dvpp: both (m, m') occurrences collapse onto the row side by symmetry;
-    # lane-pad Ms -> Ml to feed vpp's cotangent.
+    # dvpp: both (m, m') occurrences collapse onto the row side by symmetry
+    # (the backward always runs Ms == Ml — the h3 reshape above needs a
+    # lane-aligned minor dim).
     dvpp = 2.0 * h3[qp]
-    if ms != ml:
-        dvpp = jnp.concatenate(
-            [dvpp, jnp.zeros((tn, ml - ms), f32)], axis=1
-        )                                                         # (TN, Ml)
     zst = (
         zl3[:qp, :ms].astype(f32) + zl3[kk : kk + qp, :ms].astype(f32)
     )                                                             # (Qp, Ms)
@@ -391,6 +399,17 @@ _FWD_BUDGET = 64 * 256 * 256
 _BWD_BUDGET = 32 * 256 * 256
 
 
+def _lane_chunk(tile: int, ms: int, ml: int, budget_elems: int) -> int:
+    """Largest 128-multiple lane-chunk lc dividing Ml with tile*Ms*lc within
+    the VMEM budget (falls back to 128): keeps the backward compilable at
+    any M even when the minimum tile alone would overflow VMEM."""
+    k = ml // 128
+    for d in range(k, 0, -1):
+        if k % d == 0 and tile * ms * (d * 128) <= budget_elems:
+            return d * 128
+    return 128
+
+
 def _fit_tile(tile: int, ms: int, ml: int, budget_elems: int) -> int:
     """Cap the N-tile so the (TN, Ms, Ml) VMEM working set stays on-chip for
     any M, honoring the caller's tile when it already fits. Multiples of 8:
@@ -404,9 +423,21 @@ def _call_fwd(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret):
     m = z.shape[0]
     dtype = mu.dtype
     ms, ml = _m_dims(m)
-    # 64 is the largest N-tile that fits the triangle forward's scoped VMEM
-    # at Ml=256 (80 overflows by ~0.9MB); larger never measured faster.
-    tile = _fit_tile(min(tile, 64), ms, ml, _FWD_BUDGET)
+    # Triangle mode works block-at-a-time, but Mosaic does NOT reuse the
+    # per-block temporaries across the static block loop (measured: VMEM
+    # grows ~ tile*128*128 per block), so the tile budget divides by the
+    # block count, with the (Ms, Ml) accumulator off the top. 64 is the
+    # largest N-tile that fits the scoped VMEM at Ml=256 (80 overflows by
+    # ~0.9MB); larger never measured faster.
+    tri_probe = ml >= 2 * _TRI_BL
+    if tri_probe:
+        nblk = len(_tri_blocks(ms, ml))
+        tile = _fit_tile(
+            min(tile, 64), _TRI_BL, _TRI_BL * nblk,
+            max(_FWD_BUDGET - ms * ml, 8 * _TRI_BL * _TRI_BL * nblk),
+        )
+    else:
+        tile = _fit_tile(min(tile, 64), ms, ml, _FWD_BUDGET)
     mu_p, s_p, yw_p, w_p, z_p, npad, qp, ml = _pad_inputs(mu, s, yw, w_arr, z, tile)
     z2_p = z_p * z_p
     alpha_row = alpha.reshape(1, qp).astype(dtype)
@@ -470,10 +501,12 @@ def _psi_fused_bwd(tile, interpret, res, cots):
     # The backward's h3 reshape (kk, TN·Ms) -> (kk, TN, Ms) is a Mosaic
     # shape cast that only lowers when the new minor dim is lane-aligned,
     # so the backward runs symmetric Ms = Ml (the forward keeps the
-    # asymmetric savings). It keeps ~3 (TN, Ml, Ml) f32 buffers + 2 bf16
-    # splits live; honor the caller's tile whenever that fits VMEM.
+    # asymmetric savings). It keeps ~3 (TN, Ms, lc) f32 buffers + 2 bf16
+    # splits live; honor the caller's tile whenever that fits VMEM, and
+    # lane-chunk the Psi2 path once even the minimum tile would not.
     ms = ml
     tile = _fit_tile(tile, ms, ml, _BWD_BUDGET)
+    lc = _lane_chunk(tile, ms, ml, _BWD_BUDGET)
 
     mu_p, s_p, yw_p, w_p, z_p, npad, qp, ml = _pad_inputs(mu, s, yw, w_arr, z, tile)
     z2_p = z_p * z_p
@@ -495,7 +528,7 @@ def _psi_fused_bwd(tile, interpret, res, cots):
         [zext_hi.T, (zext - zext_hi).T], axis=0
     ).astype(jnp.bfloat16)                                # (2(Qp+1), Ml)
 
-    kernel = functools.partial(_bwd_kernel, m_real=m, ms=ms)
+    kernel = functools.partial(_bwd_kernel, m_real=m, ms=ms, lc=lc)
     dmu, ds, dyw, dz, dzt, dalpha, dlogsf2 = pl.pallas_call(
         kernel,
         grid=(grid,),

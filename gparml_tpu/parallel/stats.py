@@ -29,12 +29,20 @@ from gparml_tpu.ops import psi_pallas
 from gparml_tpu.parallel.mesh import DATA_AXIS
 
 
+# Largest M the fused backward fits in scoped VMEM (measured on v5e: M=640
+# compiles with the lane-chunked kernel, M>=1024 does not — Mosaic retains
+# per-chunk temporaries). Beyond it the XLA scan engine takes over.
+_PALLAS_M_LIMIT = 640
+
+
 def _local_stats(y, mu, s, z, sf2, alpha, block, weights, impl, tile,
                  vary_axis=None):
     if impl == "auto":
         # fused kernel on TPU; XLA scan elsewhere (Pallas would run in the
         # slow interpreter off-TPU)
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and z.shape[0] > _PALLAS_M_LIMIT:
+        impl = "xla"
     if impl == "pallas" and s is not None:
         return psi_pallas.suff_stats(y, mu, s, z, sf2, alpha, weights=weights,
                                      tile=tile)

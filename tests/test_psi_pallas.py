@@ -134,7 +134,8 @@ def test_pallas_stats_inside_shard_map(rng):
 
 
 def test_forward_backward_parity_large_m(rng):
-    """M > 256 exercises the low-VMEM backward variant (single HIGHEST dot)."""
+    """M > 256 exercises the triangle-tiled forward (Ml=384, clipped last
+    row block) and the symmetric lane-chunk-capable backward."""
     y, mu, s, z, sf2, alpha = _inputs(rng, n=12, d=2, q=2, m=300)
 
     def obj(fn):

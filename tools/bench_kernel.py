@@ -70,14 +70,26 @@ def main():
 
     t_f = timeit(fwd)
     t_fb = timeit(fwdbwd)
-    # FLOP model for Psi2 (the dominant term): per (n, m, m') cell the fwd
-    # does ~(2Q+4) flops via the bt matmul + exp + adds; report exp-count too.
-    mp = ((max(m, 128) + 127) // 128) * 128
-    exps = n * mp * mp
-    print(f"shape N={n} M={m} (Mp={mp}) Q={q} D={d} tile={tile}")
+    # Cell model matching the kernel's actual tiling: the forward pads
+    # asymmetrically (Ms x Ml) and, at Ml >= 256, computes only the
+    # upper-triangle 128-blocks; the backward is symmetric (Ml x Ml).
+    ml = ((max(m, 128) + 127) // 128) * 128
+    ms = min(((m + 7) // 8) * 8, ml)
+    if ml >= 256:
+        bl = 128
+        fwd_cells_per_n = sum(
+            (min(ms, (bi + 1) * bl) - bi * bl) * bl * (ml // bl - bi)
+            for bi in range(ml // bl)
+            if min(ms, (bi + 1) * bl) > bi * bl
+        )
+    else:
+        fwd_cells_per_n = ms * ml
+    exps = n * fwd_cells_per_n
+    bwd_exps = n * ml * ml
+    print(f"shape N={n} M={m} (Ms={ms}, Ml={ml}) Q={q} D={d} tile={tile}")
     print(f"fwd      : {t_f*1e3:8.1f} ms   ({exps/t_f/1e9:.1f} Gexp/s)")
     print(f"fwd+bwd  : {t_fb*1e3:8.1f} ms")
-    print(f"bwd est  : {(t_fb-t_f)*1e3:8.1f} ms   ({exps/(t_fb-t_f)/1e9:.1f} Gexp/s)")
+    print(f"bwd est  : {(t_fb-t_f)*1e3:8.1f} ms   ({bwd_exps/(t_fb-t_f)/1e9:.1f} Gexp/s)")
 
 
 if __name__ == "__main__":
