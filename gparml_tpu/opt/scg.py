@@ -44,6 +44,7 @@ class SCGOptions(NamedTuple):
     lam_min: float = 1e-15
     lam_max: float = 1e100
     display: bool = False     # per-iteration jax.debug.print (reference's display flag)
+    trace_timing: bool = False  # stamp real per-iteration wall times via io_callback
 
 
 class SCGHistory(NamedTuple):
@@ -76,6 +77,17 @@ class SCGState(NamedTuple):
     done: jnp.ndarray
     n_evals: jnp.ndarray   # objective evaluations so far
     history: SCGHistory    # (max_iters,) per-iteration trace (nan-padded)
+
+
+def _stamp(iteration) -> None:
+    """Ordered host callback recording a wall-clock stamp for this iteration
+    (collected by utils.logging.iteration_timer). Opt-in: the callback is a
+    host round-trip per iteration, so the default fused loop stays untouched."""
+    from jax.experimental import io_callback
+
+    from gparml_tpu.utils import logging as glog
+
+    io_callback(glog.stamp_iteration, None, iteration, ordered=True)
 
 
 def _tree_max_abs(t) -> jnp.ndarray:
@@ -142,6 +154,9 @@ def minimize(
         # pure evaluation at x0 (while_loop would still TRACE the body, and
         # a size-0 history cannot be indexed even in dead code)
         return state
+
+    if options.trace_timing:
+        _stamp(jnp.int32(-1))  # loop-entry stamp: baseline free of compile time
 
     def cond(st: SCGState):
         return jnp.logical_and(st.iteration < options.max_iters, ~st.done)
@@ -239,6 +254,8 @@ def minimize(
                 "SCG iter {i}: f={f} lambda={l} accepted={a}",
                 i=st.iteration, f=f_now, l=lam, a=ok,
             )
+        if options.trace_timing:
+            _stamp(st.iteration)
 
         return SCGState(
             x=x, f_now=f_now, f_old=f_old, g_new=g_new, g_old=g_old, d=d,

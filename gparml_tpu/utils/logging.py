@@ -59,6 +59,49 @@ def write_history(
                 f.write(json.dumps(row) + "\n")
 
 
+_ITER_STAMPS: list = []
+
+
+def stamp_iteration(i) -> None:
+    """Host-side sink for the optimizer's opt-in per-iteration timing
+    callback (`SCGOptions.trace_timing`). Called from inside the compiled
+    loop via an ordered io_callback, so stamps arrive in iteration order."""
+    _ITER_STAMPS.append((int(i), time.perf_counter()))
+
+
+class iteration_timer:
+    """Collect REAL per-iteration wall times from a fit whose optimizer ran
+    with ``trace_timing=True`` (SURVEY.md §5 metrics row: the reference
+    prints true per-iteration timings; the fused loop needs an io_callback
+    to observe them). Usage::
+
+        with logging.iteration_timer() as it:
+            result = fit(..., scg_options=SCGOptions(trace_timing=True))
+        wall = it.wall_seconds()   # {iteration: seconds}
+
+    The optimizer stamps once at loop entry (iteration -1, post-compile) and
+    once per executed iteration; deltas between consecutive stamps are the
+    per-iteration wall times, free of compile time."""
+
+    def __enter__(self):
+        _ITER_STAMPS.clear()
+        return self
+
+    def __exit__(self, *exc):
+        self.stamps = list(_ITER_STAMPS)
+        return False
+
+    def wall_seconds(self) -> Dict[int, float]:
+        stamps = getattr(self, "stamps", None) or list(_ITER_STAMPS)
+        out: Dict[int, float] = {}
+        prev_t = None
+        for i, t in stamps:
+            if prev_t is not None and i >= 0:
+                out[i] = t - prev_t
+            prev_t = t
+        return out
+
+
 class Timer:
     """Wall-clock section timer for fit loops and benchmark harnesses (the
     reference wraps MapReduce passes in time.time() deltas)."""

@@ -203,3 +203,28 @@ def test_cli_svgp_mode(tmp_path, rng):
     ])
     assert summary["mode"] == "svgp"
     assert np.isfinite(summary["final_elbo"])
+
+
+def test_cli_trace_timing_wall_column(tmp_path, rng):
+    """--trace-timing: history rows carry REAL per-iteration wall clocks
+    (VERDICT r2 item 7; the reference printed true per-iteration timings)."""
+    from gparml_tpu import cli
+
+    y, _ = data.synthetic_gplvm(n=40, d=4, q_true=1, seed=3)
+    inputs = tmp_path / "inputs"
+    stats = tmp_path / "statistics"
+    data.save_partitioned(str(inputs), y, 2, prefix="Y")
+    summary = cli.main([
+        "-i", str(inputs), "-e", str(tmp_path / "emb"), "-s", str(stats),
+        "-T", "8", "-q", "2", "-m", "5", "--trace-timing",
+    ])
+    assert np.isfinite(summary["final_bound"])
+    with open(stats / "bound_history.jsonl") as f:
+        lines = [json.loads(l) for l in f]
+    assert lines
+    for row in lines:
+        assert "wall_s" in row
+        assert row["wall_s"] > 0
+    # stamps are real per-iteration clocks, not a uniform average
+    walls = {row["wall_s"] for row in lines}
+    assert len(walls) >= min(2, len(lines))

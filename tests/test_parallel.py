@@ -131,3 +131,40 @@ def test_sgpr_predict_under_mesh(rng):
     mean, var = sgpr.predict(g0, xsh, ys, xs, cfg, mesh=m8, weights=w)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(mean_ref), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref), rtol=1e-8)
+
+
+def test_pallas_m_limit_fallback(rng):
+    """impl='pallas' beyond _PALLAS_M_LIMIT must silently reroute to the XLA
+    scan and still produce correct stats AND grads (VERDICT r2 item 5: the
+    framework must be correct at any M, not just fast below the limit)."""
+    m_big = pstats._PALLAS_M_LIMIT + 60  # 700 at the current limit
+    y, mu, s, z, sf2, alpha, beta = make_problem(rng, n=12, d=2, q=2, m=m_big)
+    zj, alphaj = jnp.asarray(z), jnp.asarray(alpha)
+
+    def obj(impl):
+        def f(zj, mu_, s_):
+            st = pstats.suff_stats_auto(
+                jnp.asarray(y), mu_, s_, zj, sf2, alphaj, impl=impl
+            )
+            return st.psi0 + jnp.sum(st.psi1_y) + jnp.sum(st.psi2) + st.kl
+        return jax.value_and_grad(f, argnums=(0, 1, 2))(
+            zj, jnp.asarray(mu), jnp.asarray(s)
+        )
+
+    f_ref, g_ref = obj("xla")
+    f_p, g_p = obj("pallas")  # reroutes: M > limit
+    np.testing.assert_allclose(float(f_p), float(f_ref), rtol=1e-12)
+    for a, b in zip(g_p, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+    # and under a mesh (suff_stats_sharded takes the same reroute)
+    m8 = mesh_lib.make_mesh(8)
+    ys, mus, ss, w = mesh_lib.shard_data(m8, y, mu, s)
+    st = pstats.suff_stats_sharded(
+        ys, mus, ss, zj, sf2, alphaj, mesh=m8, weights=w, impl="pallas"
+    )
+    ref = psi.suff_stats(
+        jnp.asarray(y), jnp.asarray(mu), jnp.asarray(s), zj, sf2, alphaj
+    )
+    for a, b in zip(ref, st):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
