@@ -203,38 +203,47 @@ def run(options) -> dict:
         x = jnp.asarray(x_np, dtype)
         y = jnp.asarray(y_np, dtype)
         if options.optimizer == "svgp":
-            if remote:
-                raise ValueError(
-                    "--optimizer svgp is a single-host minibatch mode; the "
-                    "collapsed modes (-p remote with scg/adam/gd) are the "
-                    "multi-host path"
-                )
             from gparml_tpu.models import svgp as svgp_mod
 
             vcfg = svgp_mod.SVGPConfig(
                 num_inducing=options.m, bijector=options.bijector,
                 batch_size=options.batch_size, fixed_beta=options.fixed_beta,
             )
+            # init from this host's rows (remote: a local block — globals are
+            # then agreed via broadcast, exactly like the collapsed modes)
             v0 = svgp_mod.init_params(jax.random.key(options.seed), x, y, vcfg)
             if options.load and options.statistics:
                 vckpt = os.path.join(options.statistics, "checkpoint.npz")
                 if os.path.exists(vckpt):
                     v0, vmeta = checkpoint.load(vckpt, v0)
                     v0 = jax.tree.map(lambda a: jnp.asarray(a, dtype), v0)
-                    print(f"resumed from {vckpt} "
-                          f"(iteration {vmeta.get('iteration')})")
+                    if writer:
+                        print(f"resumed from {vckpt} "
+                              f"(iteration {vmeta.get('iteration')})")
+            weights = None
+            if remote:
+                v0 = distributed.broadcast_pytree(jax.tree.map(np.asarray, v0))
+                v0 = jax.tree.map(lambda a: jnp.asarray(a, dtype), v0)
+                v0 = distributed.replicate(mesh, v0)
+                y, x, weights = distributed.shard_data_multihost(
+                    mesh, n, np.asarray(y), np.asarray(x)
+                )
+            elif mesh is not None:
+                y, x, weights = mesh_lib.shard_data(mesh, np.asarray(y), np.asarray(x))
             timer.stop("init")
             timer.start("fit")
             vres = svgp_mod.fit(v0, x, y, vcfg, steps=options.iterations,
-                                learning_rate=options.learning_rate)
+                                learning_rate=options.learning_rate,
+                                mesh=mesh, weights=weights)
             timer.stop("fit")
             summary = {
                 "mode": "svgp", "n": n, "d": d, "m": options.m,
                 "iterations": options.iterations, "batch_size": vcfg.batch_size,
                 "final_elbo": float(vres.elbo), "devices": len(jax.devices()),
+                "parallel": options.parallel,
                 "wall_time_s": round(time.perf_counter() - t_start, 3),
             }
-            if options.statistics:
+            if options.statistics and writer:
                 os.makedirs(options.statistics, exist_ok=True)
                 glog.write_history(
                     os.path.join(options.statistics, "elbo_history.jsonl"),
@@ -242,13 +251,14 @@ def run(options) -> dict:
                 )
                 checkpoint.save(
                     os.path.join(options.statistics, "checkpoint.npz"),
-                    vres.params,
+                    jax.tree.map(np.asarray, vres.params),
                     meta={"iteration": options.iterations,
                           "bound": float(vres.elbo)},
                 )
                 with open(os.path.join(options.statistics, "summary.json"), "w") as f:
                     json.dump(summary, f, indent=2)
-            print(json.dumps(summary))
+            if writer:
+                print(json.dumps(summary))
             return summary
         scfg = sgpr.SGPRConfig(
             num_inducing=options.m, bijector=options.bijector,

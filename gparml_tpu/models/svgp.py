@@ -20,7 +20,7 @@ ELBO (Gaussian likelihood, noise precision beta):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -95,15 +95,17 @@ def minibatch_window(a_ext, start, b: int):
     return jax.lax.dynamic_slice_in_dim(a_ext, start, b)
 
 
-def elbo(
-    p: SVGPParams, x, y, n_total: int, config: SVGPConfig
-) -> jnp.ndarray:
-    """Minibatch ELBO estimate: the data term is scaled by n_total / batch
-    (unbiased in expectation over uniformly drawn batches)."""
+def _data_term(p: SVGPParams, x, y, weights, config: SVGPConfig):
+    """WEIGHTED per-point data term sum over a batch:
+
+      sum_n w_n [ d(-log sqrt(2 pi) + log(beta)/2)
+                  - beta/2 (||y_n - mu_n||^2 + sum_d var_nd) ]
+
+    Weights make the estimator exact under mesh padding (padded rows carry
+    w=0) and reduce to the unweighted term at w=1."""
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
     b, d = y.shape
     m = z.shape[0]
-    scale = jnp.asarray(n_total, y.dtype) / b
 
     kmm = ard_rbf.kmm(z, sf2, alpha, jitter=config.jitter)
     lm = jnp.linalg.cholesky(kmm)
@@ -130,14 +132,23 @@ def elbo(
     var_f = (knn - qnn)[:, None] + var_q               # (B, D)
 
     resid = y - mean
-    data_term = (
-        -_HALF_LOG_2PI * (b * d)
-        + 0.5 * (b * d) * jnp.log(beta)
-        - 0.5 * beta * jnp.sum(resid * resid)
-        - 0.5 * beta * jnp.sum(var_f)
-    )
+    w = jnp.ones((b,), y.dtype) if weights is None else weights
+    per_point = (
+        d * (-_HALF_LOG_2PI + 0.5 * jnp.log(beta))
+        - 0.5 * beta * (jnp.sum(resid * resid, axis=1) + jnp.sum(var_f, axis=1))
+    )                                                  # (B,)
+    return jnp.sum(w * per_point)
 
-    # KL(q(u_d) || N(0, Kmm)) summed over d
+
+def _kl_qu(p: SVGPParams, d: int, config: SVGPConfig) -> jnp.ndarray:
+    """KL(q(u_d) || N(0, Kmm)) summed over output dimensions (global term,
+    computed on replicated parameters)."""
+    z, sf2, alpha, _ = P.constrain(p.glob, config.bijector)
+    m = z.shape[0]
+    kmm = ard_rbf.kmm(z, sf2, alpha, jitter=config.jitter)
+    lm = jnp.linalg.cholesky(kmm)
+    lm_inv = solve_triangular(lm, jnp.eye(m, dtype=lm.dtype), lower=True)
+    ls = _tril(p.q_sqrt)
     lm_inv_mu = jnp.matmul(lm_inv, p.q_mu, precision="highest")   # (M, D)
     lm_inv_ls = jnp.einsum("mk,dkj->dmj", lm_inv, ls, precision="highest")
     tr = jnp.sum(lm_inv_ls * lm_inv_ls)
@@ -145,9 +156,51 @@ def elbo(
     diag_ls = jnp.abs(jnp.diagonal(ls, axis1=1, axis2=2)) + 1e-20
     logdet_s = 2.0 * jnp.sum(jnp.log(diag_ls))
     logdet_k = 2.0 * jnp.sum(jnp.log(jnp.diagonal(lm))) * d
-    kl = 0.5 * (tr + quad - m * d + logdet_k - logdet_s)
+    return 0.5 * (tr + quad - m * d + logdet_k - logdet_s)
 
-    return scale * data_term - kl
+
+def elbo(
+    p: SVGPParams, x, y, n_total, config: SVGPConfig, weights=None
+) -> jnp.ndarray:
+    """Minibatch ELBO estimate: the data term is scaled by n_total / batch
+    (unbiased in expectation over uniformly drawn batches)."""
+    b, d = y.shape
+    scale = jnp.asarray(n_total, y.dtype) / b
+    return scale * _data_term(p, x, y, weights, config) - _kl_qu(p, d, config)
+
+
+def elbo_sharded(
+    p: SVGPParams, x, y, config: SVGPConfig, *, mesh, weights=None,
+    axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Exact full-data ELBO with (x, y, weights) sharded over the mesh and
+    parameters replicated: the data term is a per-shard weighted sum psum'd
+    over ICI/DCN — the same one-collective MapReduce shape as the collapsed
+    models (parallel/stats.py)."""
+    from jax.sharding import PartitionSpec as PS
+
+    from gparml_tpu.parallel.mesh import DATA_AXIS
+
+    ax = axis or DATA_AXIS
+    d = y.shape[1]
+    w = jnp.ones((y.shape[0],), y.dtype) if weights is None else weights
+
+    def body(p, xl, yl, wl):
+        data = jax.lax.psum(_data_term(p, xl, yl, wl, config), ax)
+        return data - _kl_qu(p, d, config)
+
+    rep = PS()
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: rep, p), PS(ax), PS(ax), PS(ax)),
+        out_specs=rep,
+        # KL is computed from replicated params (unvarying); the psum'd data
+        # term is axis-invariant. Their sum trips the static varying-manual-
+        # axes checker on some paths; replication is covered by the
+        # mesh-{1,2,8} equivalence tests instead (same policy as
+        # parallel/stats.py's pallas branch).
+        check_vma=False,
+    )(p, x, y, w)
 
 
 def fit(
@@ -158,8 +211,22 @@ def fit(
     steps: int = 1000,
     learning_rate: float = 1e-2,
     key=None,
+    mesh=None,
+    weights=None,
 ) -> FitResult:
-    """Adam over minibatch ELBO estimates; one jit'd lax.scan."""
+    """Adam over minibatch ELBO estimates; one jit'd lax.scan.
+
+    With ``mesh``, (x, y, weights) are globally sharded over the data axis
+    (mesh_lib.shard_data / distributed.shard_data_multihost) and parameters
+    replicated: each device draws its own wraparound window from ITS shard
+    (disjoint per-device starts via fold_in(axis_index)), giving every real
+    point inclusion probability batch/N exactly as in the single-device
+    estimator; the per-step data term and its gradients reduce with one psum.
+    batch_size is the GLOBAL batch (split evenly across devices)."""
+    if mesh is not None:
+        return _fit_sharded(
+            p0, x, y, config, steps, learning_rate, key, mesh, weights
+        )
     import optax
 
     n = x.shape[0]
@@ -202,6 +269,93 @@ def fit(
     else:
         idx = jax.random.permutation(jax.random.key(1), n)[: 4 * b]
         final = elbo(p, x[idx], y[idx], n, config)
+    return FitResult(params=p, elbo=final, history=history,
+                     n_evals=jnp.asarray(steps, jnp.int32))
+
+
+def _fit_sharded(
+    p0: SVGPParams, x, y, config: SVGPConfig, steps, learning_rate, key,
+    mesh, weights,
+) -> FitResult:
+    """Data-parallel minibatch training (see fit docstring). The reference
+    has no analogue (its only parallel mode is the collapsed full-data
+    MapReduce); this extends its data-partitioning strategy to the streaming
+    mode: partitions = device shards, partial sums = one psum per step."""
+    import optax
+    from jax.sharding import PartitionSpec as PS
+
+    from gparml_tpu.parallel.mesh import DATA_AXIS
+
+    ax = DATA_AXIS
+    k_dev = mesh.shape[ax]
+    n_pad, d = y.shape
+    assert n_pad % k_dev == 0, "mesh_lib.shard_data pads N to the device count"
+    n_local = n_pad // k_dev
+    b_local = max(1, min(config.batch_size, n_pad) // k_dev)
+    b_local = min(b_local, n_local)
+    key = jax.random.key(0) if key is None else key
+    opt = optax.adam(learning_rate)
+    mask = P.grad_mask(
+        p0.glob, fixed_beta=config.fixed_beta, fixed_z=config.fixed_z,
+        fixed_hypers=config.fixed_hypers,
+    )
+    w = jnp.ones((n_pad,), y.dtype) if weights is None else weights
+    # Inclusion probability of every local row is b_local / n_local, so the
+    # unbiased scale is n_local / b_local per device (padded rows carry w=0
+    # and contribute nothing; the psum then sums over devices).
+    scale = jnp.asarray(n_local / b_local, y.dtype)
+    rep = PS()
+    p_specs = jax.tree.map(lambda _: rep, p0)
+
+    # Per-shard wraparound extension (one shard_map, outside the scan): a
+    # length-b_local window starting anywhere in [0, n_local) never gathers.
+    ext = jax.shard_map(
+        lambda a: jnp.concatenate([a, a[:b_local]], axis=0),
+        mesh=mesh, in_specs=PS(ax), out_specs=PS(ax),
+    )
+    x_ext, y_ext = ext(x), ext(y)
+    w_ext = jax.shard_map(
+        lambda a: jnp.concatenate([a, a[:b_local]], axis=0),
+        mesh=mesh, in_specs=PS(ax), out_specs=PS(ax),
+    )(w)
+
+    def loss_body(p, k, xl, yl, wl):
+        # disjoint per-device streams: fold the device index into the key
+        kd = jax.random.fold_in(k, jax.lax.axis_index(ax))
+        start = jax.random.randint(kd, (), 0, n_local)
+        xb = minibatch_window(xl, start, b_local)
+        yb = minibatch_window(yl, start, b_local)
+        wb = minibatch_window(wl, start, b_local)
+        data = jax.lax.psum(_data_term(p, xb, yb, wb, config), ax)
+        return -(scale * data - _kl_qu(p, d, config))
+
+    loss = jax.shard_map(
+        loss_body, mesh=mesh,
+        in_specs=(p_specs, rep, PS(ax), PS(ax), PS(ax)),
+        out_specs=rep,
+        check_vma=False,  # same policy as elbo_sharded
+    )
+
+    def step(carry, k, xe, ye, we):
+        p, opt_state = carry
+        val, g = jax.value_and_grad(lambda pp: loss(pp, k, xe, ye, we))(p)
+        g = p._replace(glob=P.apply_mask(g.glob, mask), q_mu=g.q_mu,
+                       q_sqrt=g.q_sqrt)
+        updates, opt_state = opt.update(g, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        return (p, opt_state), -val
+
+    keys = jax.random.split(key, steps)
+    # opt.init inside the jit (under multi-host it must build REPLICATED
+    # state from the global params, not host-local eager zeros); the global
+    # sharded data arrays ride as jit ARGUMENTS — closing over multi-host
+    # arrays is not allowed.
+    (p, _), history = jax.jit(
+        lambda p0, keys, xe, ye, we: jax.lax.scan(
+            lambda c, k: step(c, k, xe, ye, we), (p0, opt.init(p0)), keys
+        )
+    )(p0, keys, x_ext, y_ext, w_ext)
+    final = elbo_sharded(p, x, y, config, mesh=mesh, weights=weights)
     return FitResult(params=p, elbo=final, history=history,
                      n_evals=jnp.asarray(steps, jnp.int32))
 

@@ -46,6 +46,12 @@ def main():
     cli_args = [arg for arg in a.cli_args if arg != "--"]
     summary = cli.main(cli_args)
     if a.out and (a.process_id is None or a.process_id == 0):
+        import resource
+
+        # per-host footprint evidence (config-5 dryrun): Linux reports KB
+        summary["peak_rss_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1
+        )
         with open(a.out, "w") as f:
             json.dump(summary, f)
 

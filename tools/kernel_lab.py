@@ -73,8 +73,15 @@ def make_bwd_variant(mode: str):
         hxt = jnp.zeros((kk, tn * ms), f32)
         for c0 in range(0, ml, lc):
             zcl = jax.lax.slice_in_dim(z, c0, c0 + lc, axis=0)
-            bt_c = compensated_dot(zc, zcl).reshape(tn, ms, lc)
-            pre = bt_c + vpp_s[:, :, None] + vpp_cl_expand(vpp, c0, lc)
+            if mode == "nobt":
+                pre = vpp_s[:, :, None] + vpp_cl_expand(vpp, c0, lc)
+                pre = jnp.broadcast_to(pre, (tn, ms, lc))
+            else:
+                bt_c = compensated_dot(zc, zcl).reshape(tn, ms, lc)
+                if mode == "noadds":
+                    pre = bt_c
+                else:
+                    pre = bt_c + vpp_s[:, :, None] + vpp_cl_expand(vpp, c0, lc)
             if mode == "noexp":
                 e_c = pre
             else:
@@ -84,7 +91,11 @@ def make_bwd_variant(mode: str):
                 g2 = e_c.reshape(tn * ms, lc)
             else:
                 g2 = (e_c * dp2s_c[None, :, :]).reshape(tn * ms, lc)
-            if mode in ("default", "noexp", "nomul"):
+            if mode == "noh":
+                hxt = hxt + jnp.broadcast_to(
+                    jnp.sum(g2, axis=1).reshape(1, tn * ms), (kk, tn * ms)
+                )
+            elif mode in ("default", "noexp", "nomul", "nobt", "noadds"):
                 hx = jax.lax.dot_general(
                     jax.lax.slice_in_dim(zext_f32, c0, c0 + lc, axis=1), g2,
                     dn, preferred_element_type=f32,
