@@ -307,17 +307,26 @@ def _fit_sharded(
     rep = PS()
     p_specs = jax.tree.map(lambda _: rep, p0)
 
-    # Per-shard wraparound extension (one shard_map, outside the scan): a
-    # length-b_local window starting anywhere in [0, n_local) never gathers.
-    ext = jax.shard_map(
-        lambda a: jnp.concatenate([a, a[:b_local]], axis=0),
-        mesh=mesh, in_specs=PS(ax), out_specs=PS(ax),
-    )
-    x_ext, y_ext = ext(x), ext(y)
-    w_ext = jax.shard_map(
-        lambda a: jnp.concatenate([a, a[:b_local]], axis=0),
-        mesh=mesh, in_specs=PS(ax), out_specs=PS(ax),
-    )(w)
+    # Per-shard shuffle + wraparound extension (one shard_map, outside the
+    # scan): the shuffle decorrelates contiguous windows from any on-disk
+    # row order (the single-device path shuffles globally once); the
+    # b_local-row extension lets a window start anywhere in [0, n_local)
+    # without a gather. One permutation per shard, folded by device index.
+    key, kshuf = jax.random.split(key)
+
+    def prep(x, y, w):
+        kd = jax.random.fold_in(kshuf, jax.lax.axis_index(ax))
+        perm = jax.random.permutation(kd, x.shape[0])
+        out = []
+        for a in (x, y, w):
+            a = a[perm]
+            out.append(jnp.concatenate([a, a[:b_local]], axis=0))
+        return tuple(out)
+
+    x_ext, y_ext, w_ext = jax.shard_map(
+        prep, mesh=mesh, in_specs=(PS(ax),) * 3, out_specs=(PS(ax),) * 3,
+        check_vma=False,
+    )(x, y, w)
 
     def loss_body(p, k, xl, yl, wl):
         # disjoint per-device streams: fold the device index into the key

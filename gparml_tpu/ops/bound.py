@@ -29,6 +29,29 @@ from gparml_tpu.ops.psi import SufficientStats
 _HALF_LOG_2PI = 0.9189385332046727417803297364056176
 
 
+def _chol_psi2(psi2: jnp.ndarray) -> jnp.ndarray:
+    """float32 Cholesky of the PSD-in-exact-arithmetic Psi2 with a
+    scale-aware jitter ladder.
+
+    Psi2's float32 round-off makes its smallest eigenvalues ~ -eps*lam_max
+    (observed -1.2e-4 against lam_max 1.4e4 at M=200), and a float32 Cholesky
+    needs cond <~ 1/(M*eps) to complete, so the jitter must scale with the
+    LARGEST eigenvalue (<= trace), not the mean: the previous 1e-6*tr/M
+    left cond ~ 3.5e8 and NaN'd every f32 bound at M >= 200. First try
+    30*eps*tr (relative distortion ~4e-6); if that Cholesky still fails,
+    fall back to 3000*eps*tr (~4e-4 — well inside the f32 parity tolerance,
+    and the clamps in bound_from_stats bound the damage)."""
+    m = psi2.shape[0]
+    dtype = psi2.dtype
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    tr = jnp.trace(psi2)
+    eye = jnp.eye(m, dtype=dtype)
+    lp1 = jnp.linalg.cholesky(psi2 + (30.0 * eps * tr) * eye)
+    ok = jnp.all(jnp.isfinite(lp1))
+    lp2 = jnp.linalg.cholesky(psi2 + (3000.0 * eps * tr) * eye)
+    return jnp.where(ok, lp1, lp2)
+
+
 def bound_from_stats(
     stats: SufficientStats,
     z: jnp.ndarray,
@@ -69,9 +92,7 @@ def bound_from_stats(
         # Psi2 ~= Lp Lp^T and form C2 = W W^T with W = Lm^-1 Lp — PSD by
         # construction, so chol(B) cannot NaN; accuracy degrades gracefully
         # instead of failing.
-        tr_p2 = jnp.trace(stats.psi2)
-        eps_p2 = 1e-6 * (tr_p2 / m) + jnp.asarray(1e-30, dtype)
-        lp_f = jnp.linalg.cholesky(stats.psi2 + eps_p2 * jnp.eye(m, dtype=dtype))
+        lp_f = _chol_psi2(stats.psi2)
         w = solve_triangular(lm, lp_f, lower=True)
         # Clamp to the exact inequality tr(K_MM^-1 Psi2) <= psi0 (per point,
         # <q_nn> <= <k_nn>): float32 solves through an ill-conditioned Lm
@@ -124,9 +145,7 @@ def posterior(stats: SufficientStats, z, sf2, alpha, beta, jitter: float = 1e-6)
         b = jnp.eye(m, dtype=dtype) + beta * 0.5 * (c2 + c2.T)
     else:
         # PSD-by-construction float32 path (see bound_from_stats)
-        tr_p2 = jnp.trace(stats.psi2)
-        eps_p2 = 1e-6 * (tr_p2 / m) + jnp.asarray(1e-30, dtype)
-        lp_f = jnp.linalg.cholesky(stats.psi2 + eps_p2 * jnp.eye(m, dtype=dtype))
+        lp_f = _chol_psi2(stats.psi2)
         w = solve_triangular(lm, lp_f, lower=True)
         b = jnp.eye(m, dtype=dtype) + beta * jnp.matmul(w, w.T, precision="highest")
     lb = jnp.linalg.cholesky(b)

@@ -282,21 +282,11 @@ def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
         dalpha_ref[:] = jnp.zeros_like(dalpha_ref)
         dlogsf2_ref[:] = jnp.zeros_like(dlogsf2_ref)
 
-    neg_pad, logw = _mask_and_logw(mu_ref[:], w_ref[:], ml, m_real)
-    alphab = jnp.broadcast_to(alpha_ref[:], (tn, qp))
-
-    def small_fn(mu, s, z, alphab, logsf2):
-        return _tile_2d(mu, s, z, z * z, alphab, logsf2, logw, neg_pad)
-
-    (lq, vpp, coef), vjp2 = jax.vjp(
-        small_fn, mu_ref[:], s_ref[:], z_ref[:], alphab, logsf2_ref[:]
+    vpp, coef, vjp2, dlq, dyw = _bwd_2d_common(
+        mu_ref, s_ref, yw_ref, w_ref, z_ref, alpha_ref, logsf2_ref,
+        dp1y_ref, m_real,
     )
-
-    # ---- Psi1 path ----
-    psi1 = jnp.exp2(lq)
-    dpsi1 = _comp_dg(yw_ref[:], dp1y_ref[:], 1, 1)       # (TN, Ml)
-    dlq = (_LN2 * dpsi1) * psi1
-    dyw_ref[:] = _comp_dg(psi1, dp1y_ref[:], 1, 0)       # (TN, D)
+    dyw_ref[:] = dyw
 
     # ---- Psi2 3-D path ----
     # Lane-chunked (lc lanes at a time, lc a 128-multiple dividing Ml) so
@@ -338,11 +328,43 @@ def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
             zl3_c[:kk], g_lo, dn, preferred_element_type=f32
         )
         hxt = hxt + (hx2[:kk] + hx2[kk:]) + hx1
-    h3 = (_LN2 * hxt).reshape(kk, tn, ms)
-
     # dvpp: both (m, m') occurrences collapse onto the row side by symmetry
-    # (the backward always runs Ms == Ml — the h3 reshape above needs a
+    # (the backward always runs Ms == Ml — the h3 reshape here needs a
     # lane-aligned minor dim).
+    h3 = (_LN2 * hxt).reshape(kk, tn, ms)
+    _bwd_epilogue(h3, qp, coef, zl3, vjp2, dlq,
+                  dmu_ref, ds_ref, dz_ref, dzt_ref, dalpha_ref, dlogsf2_ref)
+
+
+def _bwd_2d_common(mu_ref, s_ref, yw_ref, w_ref, z_ref, alpha_ref,
+                   logsf2_ref, dp1y_ref, m_real: int):
+    """Shared backward prologue: jax.vjp of the 2-D tile stage plus the
+    Psi1 cotangent path. Returns everything the Psi2 3-D path needs."""
+    tn, qp = mu_ref.shape
+    ml = z_ref.shape[0]
+    neg_pad, logw = _mask_and_logw(mu_ref[:], w_ref[:], ml, m_real)
+    alphab = jnp.broadcast_to(alpha_ref[:], (tn, qp))
+
+    def small_fn(mu, s, z, alphab, logsf2):
+        return _tile_2d(mu, s, z, z * z, alphab, logsf2, logw, neg_pad)
+
+    (lq, vpp, coef), vjp2 = jax.vjp(
+        small_fn, mu_ref[:], s_ref[:], z_ref[:], alphab, logsf2_ref[:]
+    )
+    psi1 = jnp.exp2(lq)
+    dpsi1 = _comp_dg(yw_ref[:], dp1y_ref[:], 1, 1)       # (TN, Ml)
+    dlq = (_LN2 * dpsi1) * psi1
+    dyw = _comp_dg(psi1, dp1y_ref[:], 1, 0)              # (TN, D)
+    return vpp, coef, vjp2, dlq, dyw
+
+
+def _bwd_epilogue(h3, qp, coef, zl3, vjp2, dlq,
+                  dmu_ref, ds_ref, dz_ref, dzt_ref, dalpha_ref, dlogsf2_ref):
+    """Shared backward epilogue: H -> (dvpp, dcoef, dzt) contractions and
+    the 2-D chain transposes (see _bwd_kernel docstring for the math)."""
+    kk = qp + 1
+    f32 = jnp.float32
+    ms = h3.shape[2]
     dvpp = 2.0 * h3[qp]
     zst = (
         zl3[:qp, :ms].astype(f32) + zl3[kk : kk + qp, :ms].astype(f32)
@@ -351,13 +373,103 @@ def _bwd_kernel(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
     dcoef = jnp.sum(hq * zst[:, None, :], axis=2).T               # (TN, Qp)
     dzt_ref[:] += 2.0 * jnp.sum(hq * coef.T[:, :, None], axis=1)  # (Qp, Ms)
 
-    # ---- 2-D chains ----
     dmu, ds, dz2d, dalphab, dlogsf2 = vjp2((dlq, dvpp, dcoef))
     dmu_ref[:] = dmu
     ds_ref[:] = ds
     dz_ref[:] += dz2d
     dalpha_ref[:] += jnp.sum(dalphab, axis=0, keepdims=True)
     dlogsf2_ref[:] += dlogsf2
+
+
+def _bwd_kernel_stair(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
+                      alpha_ref, logsf2_ref, dp1y_ref, dp2s_ref, zhilo_ref,
+                      dmu_ref, ds_ref, dyw_ref, dz_ref, dzt_ref, dalpha_ref,
+                      dlogsf2_ref, *, m_real: int, ms: int, lc: int):
+    """Staircase-triangle backward (round-3): G = E * sym(dPsi2) is
+    symmetric, so per 128-row slab only the columns from the diagonal block
+    onward are exponentiated (25% fewer big-tensor cells at Ml=256, 37.5% at
+    Ml=512 than the full square); the mirror contribution — H rows for the
+    off-diagonal columns — reuses the SAME slab through an in-kernel
+    minor-2D transpose of its bf16 halves (G[n,c,r] = G[n,r,c]):
+
+      H[m, k] = sum_{m'>=slab} G[m, m'] zext[m', k]   (row dot, per slab)
+      H[c, k] += sum_{r in slab} G[r, c] zext[r, k]   (transposed mirror dot)
+
+    Measured v5e, N=1e6/M=200: 384 ms vs 414 ms for the lane-chunked full
+    square (the VPU big-tensor chain is traffic-bound, so the win tracks
+    the removed cells minus the transpose cost). ``lc`` is unused (the slab
+    structure replaces lane chunking); the full-square kernel remains the
+    fallback for Ml > _STAIR_ML_LIMIT where slab working sets outgrow VMEM.
+    """
+    f32 = jnp.float32
+    tn, qp = mu_ref.shape
+    ml = z_ref.shape[0]
+    kk = qp + 1
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dz_ref[:] = jnp.zeros_like(dz_ref)
+        dzt_ref[:] = jnp.zeros_like(dzt_ref)
+        dalpha_ref[:] = jnp.zeros_like(dalpha_ref)
+        dlogsf2_ref[:] = jnp.zeros_like(dlogsf2_ref)
+
+    vpp, coef, vjp2, dlq, dyw = _bwd_2d_common(
+        mu_ref, s_ref, yw_ref, w_ref, z_ref, alpha_ref, logsf2_ref,
+        dp1y_ref, m_real,
+    )
+    dyw_ref[:] = dyw
+
+    z = z_ref[:]
+    zl3 = zhilo_ref[:]                                   # (2kk, Ml) bf16
+    dn = (((1,), (1,)), ((), ()))
+    bl = 128
+    hrows = []
+    hmir = jnp.zeros((kk, tn, ms), f32)
+    for r0 in range(0, ms, bl):
+        r1 = r0 + bl
+        w_cols = ml - r0
+        zr = jax.lax.slice_in_dim(z, r0, r1, axis=0)
+        zc_i = (zr[None, :, :] * coef[:, None, :]).reshape(tn * bl, qp)
+        zcols = jax.lax.slice_in_dim(z, r0, ml, axis=0)
+        bt = compensated_dot(zc_i, zcols).reshape(tn, bl, w_cols)
+        vpp_r = jax.lax.slice_in_dim(vpp, r0, r1, axis=1)
+        vpp_c = jax.lax.slice_in_dim(vpp, r0, ml, axis=1)
+        e = jnp.exp2(bt + vpp_r[:, :, None] + vpp_c[:, None, :])
+        dp2s_b = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(dp2s_ref[:], r0, r1, axis=0), r0, ml, axis=1
+        )
+        g = e * dp2s_b[None]
+        g2 = g.reshape(tn * bl, w_cols)
+        g_hi = g2.astype(jnp.bfloat16)
+        g_lo = (g2 - _round_bf16(g2)).astype(jnp.bfloat16)
+        zl3_c = jax.lax.slice_in_dim(zl3, r0, ml, axis=1)
+        hx2 = jax.lax.dot_general(zl3_c, g_hi, dn, preferred_element_type=f32)
+        hx1 = jax.lax.dot_general(zl3_c[:kk], g_lo, dn,
+                                  preferred_element_type=f32)
+        hrows.append(((hx2[:kk] + hx2[kk:]) + hx1).reshape(kk, tn, bl))
+        if r1 < ml:
+            wm = ml - r1
+            zl3_r = jax.lax.slice_in_dim(zl3, r0, r1, axis=1)
+            gh3 = g_hi.reshape(tn, bl, w_cols)
+            gl3 = g_lo.reshape(tn, bl, w_cols)
+            m_hi = jnp.swapaxes(
+                jax.lax.slice_in_dim(gh3, bl, w_cols, axis=2), 1, 2
+            ).reshape(tn * wm, bl)
+            m_lo = jnp.swapaxes(
+                jax.lax.slice_in_dim(gl3, bl, w_cols, axis=2), 1, 2
+            ).reshape(tn * wm, bl)
+            hx2m = jax.lax.dot_general(zl3_r, m_hi, dn,
+                                       preferred_element_type=f32)
+            hx1m = jax.lax.dot_general(zl3_r[:kk], m_lo, dn,
+                                       preferred_element_type=f32)
+            hm = ((hx2m[:kk] + hx2m[kk:]) + hx1m).reshape(kk, tn, wm)
+            hmir = hmir + jnp.concatenate(
+                [jnp.zeros((kk, tn, ml - wm), f32), hm], axis=2
+            )
+    h3 = _LN2 * (jnp.concatenate(hrows, axis=2) + hmir)
+
+    _bwd_epilogue(h3, qp, coef, zl3, vjp2, dlq,
+                  dmu_ref, ds_ref, dz_ref, dzt_ref, dalpha_ref, dlogsf2_ref)
 
 
 def _pad_inputs(mu, s, yw, w, z, tile):
@@ -397,6 +509,25 @@ def psi_fused(mu, s, z, sf2, alpha, yw, w_arr, tile: int = 32,
 # v5e: forward keeps ~2 big f32 buffers live, backward ~3 f32 + 2 bf16.
 _FWD_BUDGET = 64 * 256 * 256
 _BWD_BUDGET = 32 * 256 * 256
+
+# Staircase backward: largest Ml whose slab working sets fit scoped VMEM
+# (Mosaic retains per-slab temporaries across the static slab loop), and the
+# retained-elements budget calibrated on a v5e (Ml=256 at tile 32 = 3.93M
+# elements compiles; 4.2M does not).
+_STAIR_ML_LIMIT = 512
+_STAIR_BUDGET = 4_000_000
+
+
+def _stair_tile(tile: int, ml: int) -> int:
+    """N-tile for the staircase backward: retained VMEM ~ slab G buffers
+    (f32 + two bf16 halves = 2x f32 elems) plus mirror transposes (bf16
+    halves = 1.5x counting the sliced source)."""
+    nb = ml // 128
+    s0 = (ml + 128) * nb // 2          # sum of slab widths
+    s1 = (ml - 128) * nb // 2          # sum of mirror widths
+    per_tile = 128 * (2 * s0 + (3 * s1) // 2)
+    t = min(tile, _STAIR_BUDGET // per_tile)
+    return max(8, t - (t % 8))
 
 
 def _lane_chunk(tile: int, ms: int, ml: int, budget_elems: int) -> int:
@@ -505,8 +636,15 @@ def _psi_fused_bwd(tile, interpret, res, cots):
     # splits live; honor the caller's tile whenever that fits VMEM, and
     # lane-chunk the Psi2 path once even the minimum tile would not.
     ms = ml
-    tile = _fit_tile(tile, ms, ml, _BWD_BUDGET)
-    lc = _lane_chunk(tile, ms, ml, _BWD_BUDGET)
+    # Staircase-triangle kernel where its slab working sets fit VMEM
+    # (2 <= nb <= 4 lane blocks); lane-chunked full square beyond.
+    use_stair = 2 * 128 <= ml <= _STAIR_ML_LIMIT
+    if use_stair:
+        tile = _stair_tile(tile, ml)
+        lc = ml
+    else:
+        tile = _fit_tile(tile, ms, ml, _BWD_BUDGET)
+        lc = _lane_chunk(tile, ms, ml, _BWD_BUDGET)
 
     mu_p, s_p, yw_p, w_p, z_p, npad, qp, ml = _pad_inputs(mu, s, yw, w_arr, z, tile)
     z2_p = z_p * z_p
@@ -528,7 +666,10 @@ def _psi_fused_bwd(tile, interpret, res, cots):
         [zext_hi.T, (zext - zext_hi).T], axis=0
     ).astype(jnp.bfloat16)                                # (2(Qp+1), Ml)
 
-    kernel = functools.partial(_bwd_kernel, m_real=m, ms=ms, lc=lc)
+    kernel = functools.partial(
+        _bwd_kernel_stair if use_stair else _bwd_kernel,
+        m_real=m, ms=ms, lc=lc,
+    )
     dmu, ds, dyw, dz, dzt, dalpha, dlogsf2 = pl.pallas_call(
         kernel,
         grid=(grid,),

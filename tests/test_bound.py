@@ -176,3 +176,25 @@ def test_f32_bound_bounded_under_ill_conditioning(rng):
     # contract). A lower bound guards against the clamps overshooting the
     # other way.
     assert np.isfinite(f32) and -1e9 < f32 < 0.0, f32
+
+
+def test_f32_bound_finite_at_large_m(rng):
+    """Regression (round 3): the f32 PSD-by-construction path's Psi2 jitter
+    must scale with the spectrum TOP (trace), not the mean — with the old
+    1e-6*tr/M jitter every f32 GPLVM bound at M >= 200 was NaN (observed
+    cond(Psi2+eps) ~ 3.5e8, f32 Cholesky breakdown)."""
+    import jax
+    from gparml_tpu import data
+    from gparml_tpu.models import gplvm
+
+    y, _ = data.synthetic_gplvm(n=3000, d=6, q_true=2, seed=9)
+    for m in (200, 260):
+        cfg = gplvm.GPLVMConfig(q=3, num_inducing=m, stats_impl="xla")
+        p0 = gplvm.init_params(
+            jax.random.key(0), jnp.asarray(y, jnp.float32), cfg
+        )
+        f, g = gplvm.neg_bound_value_and_grad(
+            p0, jnp.asarray(y, jnp.float32), cfg
+        )
+        assert np.isfinite(float(f)), m
+        assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(g)), m
