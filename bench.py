@@ -13,15 +13,40 @@ minutes at this scale.)
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def _smoke_gate():
+    """Default-on hardware kernel gate (VERDICT r2 item 3): run the real-
+    Mosaic-compile parity check before benchmarking, so a Mosaic regression
+    can never reach BENCH_r* unnoticed. rc 3 = no TPU (clean skip, e.g. CPU
+    CI); rc 1 = parity failure -> the bench aborts loudly."""
+    import subprocess
+    import sys
+
+    runner = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "tpu_smoke_runner.py")
+    proc = subprocess.run([sys.executable, runner], capture_output=True,
+                          text=True, timeout=1800)
+    out = (proc.stdout or "").strip()
+    if proc.returncode == 3:
+        print("tpu smoke: skipped (no TPU backend)")
+        return
+    if proc.returncode != 0:
+        print(out, file=sys.stderr)
+        print((proc.stderr or "")[-2000:], file=sys.stderr)
+        raise SystemExit("bench aborted: hardware kernel smoke FAILED")
+    print(out.splitlines()[-1] if out else "tpu smoke: ok")
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    _smoke_gate()
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 
     from gparml_tpu.models import gplvm

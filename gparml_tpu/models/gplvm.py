@@ -32,6 +32,9 @@ class GPLVMConfig:
     stats_impl: str = "auto"         # psi engine: auto (pallas on TPU) | xla | pallas
     pallas_tile: int = 64
     init: str = "pca"                # reference --init {PCA, random}
+    layout: str = "nq"               # latent storage: 'nq' (N, Q) | 'qn' transposed
+                                     # ((Q, N): 8x less latent HBM on one chip;
+                                     # single-device only — see params.LatentParams)
     s0: float = 0.5                  # initial variational variance
     fixed_embeddings: bool = False   # reference --fixed_embeddings
     fixed_beta: bool = False         # reference --fixed_beta
@@ -66,7 +69,7 @@ def init_params(
     if beta is None:
         beta = 10.0 / jnp.maximum(jnp.var(y), 1e-6)
     glob = P.make_global(z, sf2, alpha, beta, bijector=config.bijector)
-    lat = P.make_latents(mu, s, bijector=config.bijector)
+    lat = P.make_latents(mu, s, bijector=config.bijector, layout=config.layout)
     return P.GPLVMParams(glob=glob, lat=lat)
 
 
@@ -74,7 +77,7 @@ def suff_stats(
     p: P.GPLVMParams, y, config: GPLVMConfig, mesh=None, weights=None
 ) -> psi.SufficientStats:
     z, sf2, alpha, _ = P.constrain(p.glob, config.bijector)
-    mu, s = P.constrain_latents(p.lat, config.bijector)
+    mu, s = P.constrain_latents(p.lat, config.bijector, config.layout)
     return suff_stats_auto(
         y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights,
         impl=config.stats_impl, tile=config.pallas_tile,
@@ -85,7 +88,7 @@ def log_bound(p: P.GPLVMParams, y, config: GPLVMConfig, mesh=None, weights=None)
     """Evidence lower bound. With ``mesh``, y/weights and the latent leaves
     of ``p`` are sharded over the data axis (the reference's partitions)."""
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
-    mu, s = P.constrain_latents(p.lat, config.bijector)
+    mu, s = P.constrain_latents(p.lat, config.bijector, config.layout)
     stats = suff_stats_auto(
         y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights,
         impl=config.stats_impl, tile=config.pallas_tile,
@@ -107,7 +110,10 @@ def neg_bound_value_and_grad(p, y, config: GPLVMConfig, mask=None, mesh=None, we
 def _check(p: P.GPLVMParams, y, config: GPLVMConfig):
     if y.ndim != 2:
         raise ValueError(f"Y must be (N, D); got {y.shape}")
-    n, q = p.lat.mu.shape
+    if config.layout == "qn":
+        q, n = p.lat.mu.shape
+    else:
+        n, q = p.lat.mu.shape
     if y.shape[0] != n:
         raise ValueError(
             f"Y has N={y.shape[0]} rows but latents have N={n} "
@@ -134,6 +140,11 @@ def fit(
     weights=None,
 ) -> FitResult:
     _check(p0, y, config)
+    if mesh is not None and config.layout == "qn":
+        raise ValueError(
+            "layout='qn' is the single-chip large-N affordance; under a "
+            "mesh the latents shard over (N, Q) rows — use layout='nq'"
+        )
     mask = P.grad_mask(
         p0,
         fixed_beta=config.fixed_beta,
@@ -173,7 +184,7 @@ def fit(
 def predict_observed(p: P.GPLVMParams, y, x_star, config: GPLVMConfig, mesh=None, weights=None):
     """Predictive p(y* | x*) at given latent locations x_star."""
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
-    mu, s = P.constrain_latents(p.lat, config.bijector)
+    mu, s = P.constrain_latents(p.lat, config.bijector, config.layout)
     stats = suff_stats_auto(
         y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights,
         impl=config.stats_impl, tile=config.pallas_tile,
@@ -183,7 +194,7 @@ def predict_observed(p: P.GPLVMParams, y, x_star, config: GPLVMConfig, mesh=None
 
 def latents(p: P.GPLVMParams, config: GPLVMConfig):
     """The learned latent embedding (mu, s) in natural space."""
-    return P.constrain_latents(p.lat, config.bijector)
+    return P.constrain_latents(p.lat, config.bijector, config.layout)
 
 
 def infer_latents(
@@ -212,7 +223,7 @@ def infer_latents(
     d = y_new.shape[1]
 
     # nearest-training-point init in data space
-    mu_tr, _ = P.constrain_latents(p.lat, config.bijector)
+    mu_tr, _ = P.constrain_latents(p.lat, config.bijector, config.layout)
     d2 = (
         jnp.sum(y_new * y_new, axis=1)[:, None]
         - 2.0 * jnp.matmul(y_new, y_train.T, precision="highest")
@@ -221,10 +232,10 @@ def infer_latents(
     nn = jnp.argmin(d2, axis=1)
     mu0 = mu_tr[nn]
     s0 = jnp.full_like(mu0, config.s0)
-    lat0 = P.make_latents(mu0, s0, bijector=config.bijector)
+    lat0 = P.make_latents(mu0, s0, bijector=config.bijector, layout=config.layout)
 
     def neg_bound(lat):
-        mu_s, s_s = P.constrain_latents(lat, config.bijector)
+        mu_s, s_s = P.constrain_latents(lat, config.bijector, config.layout)
         st_new = psi.suff_stats(y_new, mu_s, s_s, z, sf2, alpha, block=config.block)
         st = stats_train + st_new
         return -bound_ops.bound_from_stats(
@@ -234,7 +245,7 @@ def infer_latents(
     vg_fn = jax.value_and_grad(neg_bound)
     opts = scg_options or scg_mod.SCGOptions(max_iters=iters)
     st = jax.jit(lambda l: scg_mod.minimize(vg_fn, l, opts))(lat0)
-    mu_s, s_s = P.constrain_latents(st.x, config.bijector)
+    mu_s, s_s = P.constrain_latents(st.x, config.bijector, config.layout)
     from gparml_tpu.models.sgpr import scg_trace
     return mu_s, s_s, FitResult(
         params=p, bound=-st.f_now, history=-st.history.f, n_evals=st.n_evals,

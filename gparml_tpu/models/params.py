@@ -30,10 +30,19 @@ class GlobalParams(NamedTuple):
 
 class LatentParams(NamedTuple):
     """Per-data-point variational parameters q(x_n)=N(mu_n, diag(s_n));
-    sharded over the data axis."""
+    sharded over the data axis.
 
-    mu: jnp.ndarray       # (N, Q)
-    u_s: jnp.ndarray      # (N, Q) variances, bijector-space
+    Leaves are (N, Q) in the default layout, or TRANSPOSED (Q, N) under
+    ``layout='qn'`` (GPLVMConfig): XLA:TPU tiles f32 arrays to (8, 128), so
+    an (N, Q<=10) leaf physically occupies (N, 128) HBM — 12.8x its logical
+    size — while (Q, N) packs tightly. Measured (docs/DESIGN.md §5): 8x
+    lower latent HBM for ~1% extra eval time (one fused transpose at the
+    kernel boundary), lifting the single-chip N ceiling accordingly. The
+    transposed layout is a single-chip affordance; the sharded path keeps
+    (N, Q) rows (the shard axis)."""
+
+    mu: jnp.ndarray       # (N, Q) — or (Q, N) under layout='qn'
+    u_s: jnp.ndarray      # same layout; variances, bijector-space
 
 
 class GPLVMParams(NamedTuple):
@@ -47,10 +56,15 @@ def constrain(g: GlobalParams, bijector: str = "exp"):
     return g.z, bij.forward(g.u_sf2), bij.forward(g.u_alpha), bij.forward(g.u_beta)
 
 
-def constrain_latents(l: LatentParams, bijector: str = "exp"):
-    """Unconstrained LatentParams -> (mu, s) with s positive."""
+def constrain_latents(l: LatentParams, bijector: str = "exp",
+                      layout: str = "nq"):
+    """Unconstrained LatentParams -> (mu, s), always returned (N, Q) in
+    natural space (transposing out of the ``qn`` storage layout)."""
     bij = transforms.get(bijector)
-    return l.mu, bij.forward(l.u_s)
+    mu, u_s = l.mu, l.u_s
+    if layout == "qn":
+        mu, u_s = mu.T, u_s.T
+    return mu, bij.forward(u_s)
 
 
 def make_global(z, sf2, alpha, beta, bijector: str = "exp") -> GlobalParams:
@@ -65,10 +79,16 @@ def make_global(z, sf2, alpha, beta, bijector: str = "exp") -> GlobalParams:
     )
 
 
-def make_latents(mu, s, bijector: str = "exp") -> LatentParams:
+def make_latents(mu, s, bijector: str = "exp",
+                 layout: str = "nq") -> LatentParams:
+    """Build LatentParams from natural-space (N, Q) values; stores leaves
+    transposed when layout='qn' (see LatentParams)."""
     bij = transforms.get(bijector)
     mu = jnp.asarray(mu)
-    return LatentParams(mu=mu, u_s=bij.inverse(jnp.asarray(s, dtype=mu.dtype)))
+    u_s = bij.inverse(jnp.asarray(s, dtype=mu.dtype))
+    if layout == "qn":
+        mu, u_s = mu.T, u_s.T
+    return LatentParams(mu=mu, u_s=u_s)
 
 
 def grad_mask(

@@ -492,6 +492,33 @@ def _pad_inputs(mu, s, yw, w, z, tile):
     return mu, s, yw, w, z, npad, qp, ml
 
 
+def _pad_inputs_t(mu_t, s_t, yw_t, w, z, tile):
+    """Transposed-layout padding: mu/s are (Q, N), yw is (D, N) — N pads on
+    AXIS 1 so nothing (N, small) ever materializes (the whole point of the
+    layout: an (N, q<=10) f32 array physically tiles to (N, 128) in HBM)."""
+    q, n = mu_t.shape
+    m = z.shape[0]
+    npad = _round_up(n, tile)
+    _, ml = _m_dims(m)
+    if npad != n:
+        ones = jnp.ones((q, npad - n), mu_t.dtype)
+        mu_t = jnp.concatenate([mu_t, ones], 1)
+        s_t = jnp.concatenate([s_t, ones], 1)
+        yw_t = jnp.concatenate(
+            [yw_t, jnp.zeros((yw_t.shape[0], npad - n), yw_t.dtype)], 1
+        )
+        w = jnp.concatenate([w, jnp.zeros((npad - n,), w.dtype)], 0)
+    if ml != m:
+        z = jnp.concatenate([z, jnp.zeros((ml - m, z.shape[1]), z.dtype)], 0)
+    return mu_t, s_t, yw_t, w, z, npad, q, ml
+
+
+def _t2(x):
+    """Small-block 2-D transpose inside a kernel via the (proven-lowering)
+    3-D minor-2 swapaxes pattern."""
+    return jnp.swapaxes(x[None], 1, 2)[0]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def psi_fused(mu, s, z, sf2, alpha, yw, w_arr, tile: int = 32,
               interpret: bool = False):

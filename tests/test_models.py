@@ -5,7 +5,9 @@ small sizes for CI speed). SURVEY.md §4 e2e plan."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
+from gparml_tpu import data
 from gparml_tpu.models import gplvm, sgpr
 from gparml_tpu.models import params as P
 
@@ -155,3 +157,55 @@ def test_sgpr_f32_fit_matches_f64_optimum():
                            jnp.asarray(x[:50]), cfg)
     rmse = float(np.sqrt(np.mean((np.asarray(mean) - np.sin(1.5 * x[:50])) ** 2)))
     assert rmse < 0.15, rmse
+
+
+def test_gplvm_qn_layout_matches_nq(rng):
+    """layout='qn' (transposed (Q, N) latent storage — the single-chip
+    large-N affordance, docs/DESIGN.md §5) is numerically identical to the
+    default layout: same bound, same gradients (transposed)."""
+    y, _ = data.synthetic_gplvm(n=40, d=4, q_true=2, seed=4)
+    yj = jnp.asarray(y)
+    cfg_nq = gplvm.GPLVMConfig(q=2, num_inducing=6)
+    cfg_qn = gplvm.GPLVMConfig(q=2, num_inducing=6, layout="qn")
+    p_nq = gplvm.init_params(jax.random.key(0), yj, cfg_nq)
+    p_qn = gplvm.init_params(jax.random.key(0), yj, cfg_qn)
+    assert p_qn.lat.mu.shape == (2, 40)
+    np.testing.assert_allclose(np.asarray(p_qn.lat.mu),
+                               np.asarray(p_nq.lat.mu).T, rtol=1e-12)
+
+    f_nq, g_nq = gplvm.neg_bound_value_and_grad(p_nq, yj, cfg_nq)
+    f_qn, g_qn = gplvm.neg_bound_value_and_grad(p_qn, yj, cfg_qn)
+    np.testing.assert_allclose(float(f_qn), float(f_nq), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_qn.lat.mu),
+                               np.asarray(g_nq.lat.mu).T, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_qn.glob.z),
+                               np.asarray(g_nq.glob.z), rtol=1e-10)
+
+    res = gplvm.fit(p_qn, yj, cfg_qn, iters=10)
+    h = np.asarray(res.history)
+    h = h[np.isfinite(h)]
+    assert h[-1] >= h[0] - 1e-6
+    mu_nat, s_nat = gplvm.latents(res.params, cfg_qn)
+    assert mu_nat.shape == (40, 2) and s_nat.shape == (40, 2)
+
+    # mesh + qn is rejected (the sharded path owns (N, Q) rows)
+    from gparml_tpu.parallel import mesh as mesh_lib
+    with pytest.raises(ValueError):
+        gplvm.fit(p_qn, yj, cfg_qn, iters=1, mesh=mesh_lib.make_mesh(2))
+
+
+def test_cli_qn_layout_end_to_end(tmp_path, rng):
+    from gparml_tpu import cli
+
+    y, _ = data.synthetic_gplvm(n=48, d=5, q_true=1, seed=12)
+    inputs = tmp_path / "inputs"
+    data.save_partitioned(str(inputs), y, 3, prefix="Y")
+    argv = ["-i", str(inputs), "-e", str(tmp_path / "emb"),
+            "-s", str(tmp_path / "st"), "-T", "10", "-q", "2", "-m", "6",
+            "--layout", "qn"]
+    s1 = cli.main(argv)
+    assert np.isfinite(s1["final_bound"])
+    mu = np.load(tmp_path / "emb" / "X_mu_0.npy")
+    assert mu.shape[1] == 2  # embeddings saved in the (N, Q) file contract
+    s2 = cli.main(argv + ["--load"])
+    assert s2["final_bound"] >= s1["final_bound"] - 1e-3

@@ -27,9 +27,11 @@ def main() -> int:
 
     F = jnp.float32
     failures = []
-    # M=200 hits the asymmetric-padding forward; M=512 hits the lane-boundary
-    # tile (Ms == Ml == 512, minimum backward tile).
-    for n, m, q, d in ((64, 200, 10, 12), (24, 512, 10, 12)):
+    # M=200 hits the asymmetric-padding forward + staircase backward;
+    # M=512 the lane-boundary staircase (minimum tile); M=640 the
+    # lane-chunked full-square fallback kernel (Ml > _STAIR_ML_LIMIT).
+    for n, m, q, d in ((64, 200, 10, 12), (24, 512, 10, 12),
+                       (16, 640, 10, 12)):
         rng = np.random.default_rng(m)
         y = jnp.asarray(rng.standard_normal((n, d)), F)
         mu = jnp.asarray(rng.standard_normal((n, q)), F)
@@ -71,7 +73,8 @@ def main() -> int:
     if failures:
         print("\n".join(failures))
         return 1
-    print("tpu smoke: pallas fwd+bwd matches XLA on hardware (M=200, M=512)")
+    print("tpu smoke: pallas fwd+bwd matches XLA on hardware "
+          "(M=200, M=512 staircase; M=640 lane-chunked)")
     return 0
 
 

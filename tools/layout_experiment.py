@@ -30,8 +30,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 
 
-def hbm_used() -> int:
-    return jax.local_devices()[0].memory_stats()["bytes_in_use"]
+def hbm_used():
+    stats = jax.local_devices()[0].memory_stats()
+    return None if stats is None else stats.get("bytes_in_use")
 
 
 def main():
@@ -40,17 +41,24 @@ def main():
     dev = jax.local_devices()[0]
     out = {"n": n, "q": q}
 
-    # --- 1. physical HBM footprint ---
-    base = hbm_used()
-    a_nq = jax.device_put(np.zeros((n, q), np.float32), dev)
-    a_nq.block_until_ready()
-    out["bytes_nq"] = hbm_used() - base
-    base = hbm_used()
-    a_qn = jax.device_put(np.zeros((q, n), np.float32), dev)
-    a_qn.block_until_ready()
-    out["bytes_qn"] = hbm_used() - base
+    # --- 1. physical HBM footprint (memory_stats unavailable through the
+    # axon tunnel -> fall back to the documented (8,128)-tiling model,
+    # measured directly in round 2: docs/DESIGN.md §5) ---
+    if hbm_used() is not None:
+        base = hbm_used()
+        a_nq = jax.device_put(np.zeros((n, q), np.float32), dev)
+        a_nq.block_until_ready()
+        out["bytes_nq"] = hbm_used() - base
+        base = hbm_used()
+        a_qn = jax.device_put(np.zeros((q, n), np.float32), dev)
+        a_qn.block_until_ready()
+        out["bytes_qn"] = hbm_used() - base
+        del a_nq, a_qn
+    else:
+        out["bytes_nq"] = 4 * n * 128          # (N, 10) tiles to (N, 128)
+        out["bytes_qn"] = 4 * 16 * n           # (10, N) tiles to (16, N)
+        out["bytes_note"] = "tiling model; memory_stats=None under tunnel"
     out["logical_bytes"] = 4 * n * q
-    del a_nq, a_qn
 
     # --- 2. relayout cost: (Q, N) -> (N, Q) transpose ---
     rng = np.random.default_rng(0)
