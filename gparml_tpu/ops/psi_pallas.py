@@ -472,6 +472,254 @@ def _bwd_kernel_stair(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
                   dmu_ref, ds_ref, dz_ref, dzt_ref, dalpha_ref, dlogsf2_ref)
 
 
+# ---------------------------------------------------------------------------
+# Flat-basis kernels (round 3): the entire log2-Psi2 staircase slab as ONE
+# K-major MXU matmul over a (3Q+2)-column basis, then exp2 + reduce — no
+# per-cell broadcast adds, no lane-padded zc build, no (TN, Ml) vpp array.
+#
+#   lp[(n,i), j] = sum_k lhs[(n,i), k] * RZ[k, r0+j]     (base-2 log units)
+#   lhs columns:  [coef_nq*z_{r0+i,q} | c2mu'_nq | c2p'_nq | rowside | 1]
+#   RZ rows:      [z_jq               | z_jq     | z2_jq   | 1       | rpad_j]
+#   rowside      = log2e*(<c2mu',z_m> + <c2p',z2_m>) + rpad_m + nsc_n
+#   nsc          = log2e*(log_const + log w);  rpad = -.25*log2e*r + mask
+#
+# Compensated rungs ride the K dim: lhs3=[L_hi,L_hi,L_lo], rz3=[R_hi,R_lo,R_hi]
+# (3K <= 128 for Q <= 42: ONE MXU K-tile). The M-pad mask constant is -32768
+# (bf16-exact; exp2 underflows to 0 below ~-150). The measured round-3 win on
+# a v5e at N=1e6/M=200: fwd 260 -> 210 ms, bwd 387 -> 317 ms (the removed
+# lane-padded split-prep and the sublane-broadcast vpp add were ~55% of the
+# old backward's wall time; see tools/kernel_lab.py ablations).
+# ---------------------------------------------------------------------------
+
+_NEG_MASK = -32768.0  # bf16-exact M-padding mask in base-2 log units
+_KM = (((0,), (0,)), ((), ()))  # K-major dot dims: contract dim0 x dim0
+
+
+def _tile_basis(mu, s, z, z2, alphab, logsf2, logw, rpad):
+    """Differentiable small stage of the flat kernels: returns
+    (lq, coef, c2mu, c2p, rs, nsc), all (tn, .)-shaped. ``rs`` is the
+    z/rpad-dependent part of the rowside column, (tn, Ml); ``nsc`` the
+    per-point scalar, (tn, 1) — kept separate because the backward doubles
+    rs's cotangent (row/col symmetry) but nsc appears once per cell.
+    All dots are compensated_dot so cotangent products stay compensated."""
+    den1 = alphab * s + 1.0
+    c1 = alphab / den1
+    logn1 = (
+        logsf2
+        - 0.5 * jnp.sum(jnp.log(den1), axis=1, keepdims=True)
+        - 0.5 * jnp.sum(c1 * mu * mu, axis=1, keepdims=True)
+        + logw
+    )
+    quad = compensated_dot(
+        jnp.concatenate([c1 * mu, -0.5 * c1], axis=1),
+        jnp.concatenate([z, z2], axis=1))
+    lq = _LOG2E * (logn1 + quad)                                  # (tn, Ml)
+
+    den2 = 2.0 * alphab * s + 1.0
+    c2 = alphab / den2
+    log_const = (
+        2.0 * logsf2
+        - 0.5 * jnp.sum(jnp.log(den2), axis=1, keepdims=True)
+        - jnp.sum(c2 * mu * mu, axis=1, keepdims=True)
+    )
+    coef = (0.5 * _LOG2E) * (alphab - c2)                         # (tn, qp)
+    c2mu = _LOG2E * (c2 * mu)
+    c2p = (-0.25 * _LOG2E) * c2
+    nsc = _LOG2E * (log_const + logw)                             # (tn, 1)
+    tn = mu.shape[0]
+    rs = compensated_dot(
+        jnp.concatenate([c2mu, c2p, jnp.ones((tn, 1), jnp.float32)], axis=1),
+        jnp.concatenate([z, z2, rpad], axis=1))                   # (tn, Ml)
+    return lq, coef, c2mu, c2p, rs, nsc
+
+
+def _flat_lhs3(coefT, c2muT, c2pT, rowside_s, zsT):
+    """Per-slab lhs rungs (3K, tn*128) bf16; K = 3*qp + 2."""
+    qp, tn = coefT.shape
+    coefz = coefT[:, :, None] * zsT[:, None, :]                   # (qp,tn,128)
+    ones = jnp.ones((1, tn, 128), jnp.float32)
+    big = jnp.concatenate([
+        coefz,
+        jnp.broadcast_to(c2muT[:, :, None], (qp, tn, 128)),
+        jnp.broadcast_to(c2pT[:, :, None], (qp, tn, 128)),
+        rowside_s[None],
+        ones,
+    ], axis=0).reshape(3 * qp + 2, tn * 128)
+    hi = _round_bf16(big)
+    lo = big - hi
+    return jnp.concatenate([hi, hi, lo], 0).astype(jnp.bfloat16)
+
+
+def _rz3_inputs(z_p, z2_p, alpha_row, m_real):
+    """XLA-side flat-kernel inputs: rz3 (3K, Ml) bf16 rungs and the rpad
+    column (Ml, 1) f32 (-.25*log2e*r + M-pad mask)."""
+    ml, qp = z_p.shape
+    r = jnp.sum(alpha_row.reshape(1, qp) * z2_p, axis=1)          # (Ml,)
+    mask = jnp.where(jnp.arange(ml) >= m_real, _NEG_MASK, 0.0)
+    rpad = ((-0.25 * _LOG2E) * r + mask).reshape(ml, 1).astype(jnp.float32)
+    rz = jnp.concatenate([
+        z_p.T, z_p.T, z2_p.T, jnp.ones((1, ml), z_p.dtype), rpad.T,
+    ], axis=0).astype(jnp.float32)                                # (K, Ml)
+    hi = _round_bf16(rz)
+    lo = rz - hi
+    return jnp.concatenate([hi, lo, hi], 0).astype(jnp.bfloat16), rpad
+
+
+def _mirror_blockdiag(p2, ml, dtype):
+    """u + u^T - blockdiag(u): restores the full symmetric matrix from the
+    computed upper staircase (diagonal 128-blocks computed fully)."""
+    nb = ml // 128
+    eye_b = jnp.kron(jnp.eye(nb, dtype=dtype), jnp.ones((128, 128), dtype))
+    return p2 + p2.T - p2 * eye_b
+
+
+def _fwd_kernel_flat(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
+                     alpha_ref, logsf2_ref, rz3_ref, rpad_ref,
+                     p1y_ref, p2_ref, *, m_real: int):
+    f32 = jnp.float32
+    tn, qp = mu_ref.shape
+    ml = z_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        p1y_ref[:] = jnp.zeros_like(p1y_ref)
+        p2_ref[:] = jnp.zeros_like(p2_ref)
+
+    logw = jnp.maximum(jnp.log(w_ref[:]), w_ref[:] * 0.0 + _NEG_BIG)
+    alphab = jnp.broadcast_to(alpha_ref[:], (tn, qp))
+    lq, coef, c2mu, c2p, rs, nsc = _tile_basis(
+        mu_ref[:], s_ref[:], z_ref[:], z2_ref[:], alphab,
+        logsf2_ref[:], logw, rpad_ref[:])
+    rowside_full = rs + nsc
+    coefT, c2muT, c2pT = _t2(coef), _t2(c2mu), _t2(c2p)
+    neg_pad = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, ml), 1) >= m_real
+    ).astype(f32) * _NEG_BIG
+    psi1 = jnp.exp2(lq + neg_pad)
+    p1y_ref[:] += jax.lax.dot_general(
+        psi1, yw_ref[:], (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    for r0 in range(0, ml, 128):
+        w_cols = ml - r0
+        zsT = _t2(jax.lax.slice_in_dim(z_ref[:], r0, r0 + 128, axis=0))
+        rowside_s = jax.lax.slice_in_dim(rowside_full, r0, r0 + 128, axis=1)
+        lhs3 = _flat_lhs3(coefT, c2muT, c2pT, rowside_s, zsT)
+        rz3_c = jax.lax.slice_in_dim(rz3_ref[:], r0, ml, axis=1)
+        lp = jax.lax.dot_general(lhs3, rz3_c, _KM,
+                                 preferred_element_type=f32)      # (A, w)
+        e = jnp.exp2(lp).reshape(tn, 128, w_cols)
+        p2_ref[r0:r0 + 128, r0:ml] += jnp.sum(e, axis=0)
+
+
+def _bwd_kernel_flat(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
+                     alpha_ref, logsf2_ref, rz3_ref, rpad_ref,
+                     dp1y_ref, dp2s_ref,
+                     dmu_ref, ds_ref, dyw_ref, dz_ref, dzt_ref,
+                     dalpha_ref, dlogsf2_ref, drpad_ref, *, m_real: int):
+    """Flat-basis backward. The per-slab H-dot generalizes the old zext-dot
+    to the full basis: dlhs[k, (n,i)] = sum_j RZ[k, j] G[(n,i), j] with
+    G = exp2(lp) * sym(dPsi2) and the mirror contribution transposed in from
+    the same slab (G symmetric), exactly as the staircase kernel. Parameter
+    chains flow through jax.vjp of _tile_basis; by row/col symmetry the
+    column-side cotangents of the c2mu'/c2p'/rpad basis rows equal the
+    row-side ones, so rs's cotangent is doubled and those rows discarded.
+    rpad's own chain (dalpha, dz) is closed outside the kernel via drpad."""
+    f32 = jnp.float32
+    tn, qp = mu_ref.shape
+    ml = z_ref.shape[0]
+    kx = 3 * qp + 2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dz_ref[:] = jnp.zeros_like(dz_ref)
+        dzt_ref[:] = jnp.zeros_like(dzt_ref)
+        dalpha_ref[:] = jnp.zeros_like(dalpha_ref)
+        dlogsf2_ref[:] = jnp.zeros_like(dlogsf2_ref)
+        drpad_ref[:] = jnp.zeros_like(drpad_ref)
+
+    logw = jnp.maximum(jnp.log(w_ref[:]), w_ref[:] * 0.0 + _NEG_BIG)
+    alphab = jnp.broadcast_to(alpha_ref[:], (tn, qp))
+
+    def small_fn(mu, s, z, alphab, logsf2, rpad):
+        return _tile_basis(mu, s, z, z * z, alphab, logsf2, logw, rpad)
+
+    (lq, coef, c2mu, c2p, rs, nsc), vjp2 = jax.vjp(
+        small_fn, mu_ref[:], s_ref[:], z_ref[:], alphab, logsf2_ref[:],
+        rpad_ref[:])
+    rowside_full = rs + nsc
+
+    neg_pad = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, ml), 1) >= m_real
+    ).astype(f32) * _NEG_BIG
+    psi1 = jnp.exp2(lq + neg_pad)
+    dpsi1 = _comp_dg(yw_ref[:], dp1y_ref[:], 1, 1)
+    dlq = (_LN2 * dpsi1) * psi1
+    dyw_ref[:] = _comp_dg(psi1, dp1y_ref[:], 1, 0)
+
+    coefT, c2muT, c2pT = _t2(coef), _t2(c2mu), _t2(c2p)
+    dn = (((1,), (1,)), ((), ()))
+    hrows = []
+    hmir = jnp.zeros((kx, tn, ml), f32)
+    for r0 in range(0, ml, 128):
+        r1 = r0 + 128
+        w_cols = ml - r0
+        zsT = _t2(jax.lax.slice_in_dim(z_ref[:], r0, r1, axis=0))
+        rowside_s = jax.lax.slice_in_dim(rowside_full, r0, r1, axis=1)
+        lhs3 = _flat_lhs3(coefT, c2muT, c2pT, rowside_s, zsT)
+        rz3_c = jax.lax.slice_in_dim(rz3_ref[:], r0, ml, axis=1)
+        lp = jax.lax.dot_general(lhs3, rz3_c, _KM,
+                                 preferred_element_type=f32)
+        e3 = jnp.exp2(lp).reshape(tn, 128, w_cols)
+        dp2s_b = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(dp2s_ref[:], r0, r1, axis=0), r0, ml, axis=1)
+        g = e3 * dp2s_b[None]
+        g2 = g.reshape(tn * 128, w_cols)
+        g_hi = g2.astype(jnp.bfloat16)
+        g_lo = (g2 - _round_bf16(g2)).astype(jnp.bfloat16)
+        hx2 = jax.lax.dot_general(rz3_c[:2 * kx], g_hi, dn,
+                                  preferred_element_type=f32)
+        hx1 = jax.lax.dot_general(rz3_c[:kx], g_lo, dn,
+                                  preferred_element_type=f32)
+        hrows.append(((hx2[:kx] + hx2[kx:]) + hx1).reshape(kx, tn, 128))
+        if r1 < ml:
+            wm = ml - r1
+            rz3_r = jax.lax.slice_in_dim(rz3_ref[:], r0, r1, axis=1)
+            gh3 = g_hi.reshape(tn, 128, w_cols)
+            gl3 = g_lo.reshape(tn, 128, w_cols)
+            m_hi = jnp.swapaxes(
+                jax.lax.slice_in_dim(gh3, 128, w_cols, axis=2), 1, 2
+            ).reshape(tn * wm, 128)
+            m_lo = jnp.swapaxes(
+                jax.lax.slice_in_dim(gl3, 128, w_cols, axis=2), 1, 2
+            ).reshape(tn * wm, 128)
+            hx2m = jax.lax.dot_general(rz3_r[:2 * kx], m_hi, dn,
+                                       preferred_element_type=f32)
+            hx1m = jax.lax.dot_general(rz3_r[:kx], m_lo, dn,
+                                       preferred_element_type=f32)
+            hm = ((hx2m[:kx] + hx2m[kx:]) + hx1m).reshape(kx, tn, wm)
+            hmir = hmir + jnp.concatenate(
+                [jnp.zeros((kx, tn, ml - wm), f32), hm], axis=2)
+    dlhs = _LN2 * (jnp.concatenate(hrows, axis=2) + hmir)         # (K,tn,Ml)
+
+    zT_all = _t2(z_ref[:])
+    dcoefz = dlhs[:qp]                                            # (qp,tn,Ml)
+    dcoef = jnp.sum(dcoefz * zT_all[:, None, :], axis=2).T        # (tn, qp)
+    dzt_ref[:] += 2.0 * jnp.sum(dcoefz * coefT[:, :, None], axis=1)
+    drowside = dlhs[3 * qp]                                       # (tn, Ml)
+    dnsc = jnp.sum(drowside, axis=1, keepdims=True)
+
+    dmu, ds, dz2d, dalphab, dlogsf2, drpad = vjp2(
+        (dlq, dcoef, jnp.zeros_like(c2mu), jnp.zeros_like(c2p),
+         2.0 * drowside, dnsc))
+    dmu_ref[:] = dmu
+    ds_ref[:] = ds
+    dz_ref[:] += dz2d
+    dalpha_ref[:] += jnp.sum(dalphab, axis=0, keepdims=True)
+    dlogsf2_ref[:] += dlogsf2
+    drpad_ref[:] += drpad
+
+
 def _pad_inputs(mu, s, yw, w, z, tile):
     """Apply the exact padding contract; returns padded arrays + dims."""
     n, q = mu.shape
@@ -537,6 +785,25 @@ def psi_fused(mu, s, z, sf2, alpha, yw, w_arr, tile: int = 32,
 _FWD_BUDGET = 64 * 256 * 256
 _BWD_BUDGET = 32 * 256 * 256
 
+# Flat-basis kernels: largest Ml routed through them (beyond: staircase /
+# lane-chunked fallbacks), and per-path VMEM element budgets expressed as
+# tile * 128 * sum-of-slab-widths, calibrated on a v5e at Ml=256 (fwd tile
+# 152 compiles, 160 overflows scoped vmem by 0.6M — the kernel retains the
+# full-width rowside/lq (TN, Ml) pair on top of the slab working set; bwd
+# 64 compiles, 96 does not).
+_FLAT_ML_LIMIT = 512
+_FLAT_FWD_ELEMS = 152 * 128 * 384
+_FLAT_BWD_ELEMS = 64 * 128 * 384
+
+
+def _flat_tile(tile: int, ml: int, budget_elems: int) -> int:
+    """N-tile for the flat kernels: the retained working set scales with the
+    staircase's total slab area 128 * S, S = sum_b (ml - 128 b)."""
+    nb = ml // 128
+    s = nb * ml - 128 * (nb * (nb - 1)) // 2
+    t = min(tile, budget_elems // (128 * s))
+    return max(8, t - (t % 8))
+
 # Staircase backward: largest Ml whose slab working sets fit scoped VMEM
 # (Mosaic retains per-slab temporaries across the static slab loop), and the
 # retained-elements budget calibrated on a v5e (Ml=256 at tile 32 = 3.93M
@@ -576,11 +843,68 @@ def _fit_tile(tile: int, ms: int, ml: int, budget_elems: int) -> int:
     return max(8, t - (t % 8))
 
 
+def _use_flat(ml: int, q: int) -> bool:
+    """Route through the flat-basis kernels: >= 2 lane blocks (one full
+    block is already minimal for the old kernels), slab working sets within
+    the calibrated VMEM budgets, and the 3Q+2 basis inside ONE MXU K-tile."""
+    return 2 * 128 <= ml <= _FLAT_ML_LIMIT and 3 * q + 2 <= 128
+
+
+def _call_fwd_flat(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret):
+    d = yw.shape[1]
+    m = z.shape[0]
+    dtype = mu.dtype
+    _, ml = _m_dims(m)
+    # Callers' tile hints are tuned for the (TN, Ms, Ml) kernels; on hardware
+    # the slab budget is the binding constraint (interpret keeps the hint so
+    # CPU parity tests exercise multi-step grid accumulation).
+    tile = _flat_tile(tile if interpret else 256, ml, _FLAT_FWD_ELEMS)
+    mu_p, s_p, yw_p, w_p, z_p, npad, qp, ml = _pad_inputs(
+        mu, s, yw, w_arr, z, tile)
+    z2_p = z_p * z_p
+    alpha_row = alpha.reshape(1, qp).astype(dtype)
+    logsf2 = jnp.log(jnp.asarray(sf2, dtype)).reshape(1, 1)
+    rz3, rpad = _rz3_inputs(z_p, z2_p, alpha_row, m)
+    grid = npad // tile
+    kx = 3 * qp + 2
+    kernel = functools.partial(_fwd_kernel_flat, m_real=m)
+    p1y, p2 = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, qp), lambda i: (i, 0)),        # mu
+            pl.BlockSpec((tile, qp), lambda i: (i, 0)),        # s
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),         # yw
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),         # w
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),          # z
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),          # z2
+            pl.BlockSpec((1, qp), lambda i: (0, 0)),           # alpha
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),            # log sf2
+            pl.BlockSpec((3 * kx, ml), lambda i: (0, 0)),      # rz3 rungs
+            pl.BlockSpec((ml, 1), lambda i: (0, 0)),           # rpad
+        ],
+        out_specs=[
+            pl.BlockSpec((ml, d), lambda i: (0, 0)),
+            pl.BlockSpec((ml, ml), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ml, d), dtype),
+            jax.ShapeDtypeStruct((ml, ml), dtype),
+        ],
+        interpret=interpret,
+    )(mu_p, s_p, yw_p, w_p.reshape(-1, 1), z_p, z2_p, alpha_row, logsf2,
+      rz3, rpad)
+    p2 = _mirror_blockdiag(p2, ml, dtype)
+    return p1y[:m], p2[:m, :m]
+
+
 def _call_fwd(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret):
     d = yw.shape[1]
     m = z.shape[0]
     dtype = mu.dtype
     ms, ml = _m_dims(m)
+    if _use_flat(ml, mu.shape[1]):
+        return _call_fwd_flat(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret)
     # Triangle mode works block-at-a-time, but Mosaic does NOT reuse the
     # per-block temporaries across the static block loop (measured: VMEM
     # grows ~ tile*128*128 per block), so the tile budget divides by the
@@ -647,6 +971,87 @@ def _psi_fused_fwd(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret):
     return out, (mu, s, z, sf2, alpha, yw, w_arr)
 
 
+def _call_bwd_flat(mu, s, z, sf2, alpha, yw, w_arr, dp1y, dp2, tile,
+                   interpret):
+    d = yw.shape[1]
+    m = z.shape[0]
+    dtype = mu.dtype
+    n = mu.shape[0]
+    _, ml = _m_dims(m)
+    tile = _flat_tile(tile if interpret else 256, ml, _FLAT_BWD_ELEMS)
+    mu_p, s_p, yw_p, w_p, z_p, npad, qp, ml = _pad_inputs(
+        mu, s, yw, w_arr, z, tile)
+    z2_p = z_p * z_p
+    alpha_row = alpha.reshape(1, qp).astype(dtype)
+    logsf2 = jnp.log(jnp.asarray(sf2, dtype)).reshape(1, 1)
+    rz3, rpad = _rz3_inputs(z_p, z2_p, alpha_row, m)
+    dp1y_p = jnp.zeros((ml, d), dtype).at[:m].set(dp1y)
+    # Psi2 is symmetric, so only the symmetric part of its cotangent acts;
+    # the flat backward needs G = E * dp2s symmetric for the row/col-side
+    # cotangent folding.
+    dp2s = 0.5 * (dp2 + dp2.T)
+    dp2_p = jnp.zeros((ml, ml), dtype).at[:m, :m].set(dp2s)
+    grid = npad // tile
+    kx = 3 * qp + 2
+    kernel = functools.partial(_bwd_kernel_flat, m_real=m)
+    dmu, ds, dyw, dz, dzt, dalpha, dlogsf2, drpad = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, qp), lambda i: (i, 0)),
+            pl.BlockSpec((tile, qp), lambda i: (i, 0)),
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),
+            pl.BlockSpec((1, qp), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((3 * kx, ml), lambda i: (0, 0)),      # rz3 rungs
+            pl.BlockSpec((ml, 1), lambda i: (0, 0)),           # rpad
+            pl.BlockSpec((ml, d), lambda i: (0, 0)),           # dp1y
+            pl.BlockSpec((ml, ml), lambda i: (0, 0)),          # dp2s
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, qp), lambda i: (i, 0)),        # dmu
+            pl.BlockSpec((tile, qp), lambda i: (i, 0)),        # ds
+            pl.BlockSpec((tile, d), lambda i: (i, 0)),         # dyw
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),          # dz (2-D) acc
+            pl.BlockSpec((qp, ml), lambda i: (0, 0)),          # dz (direct)^T
+            pl.BlockSpec((1, qp), lambda i: (0, 0)),           # dalpha acc
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),            # dlogsf2 acc
+            pl.BlockSpec((ml, 1), lambda i: (0, 0)),           # drpad acc
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((npad, qp), dtype),
+            jax.ShapeDtypeStruct((npad, qp), dtype),
+            jax.ShapeDtypeStruct((npad, d), dtype),
+            jax.ShapeDtypeStruct((ml, qp), dtype),
+            jax.ShapeDtypeStruct((qp, ml), dtype),
+            jax.ShapeDtypeStruct((1, qp), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((ml, 1), dtype),
+        ],
+        interpret=interpret,
+    )(mu_p, s_p, yw_p, w_p.reshape(-1, 1), z_p, z2_p, alpha_row, logsf2,
+      rz3, rpad, dp1y_p, dp2_p)
+
+    # rpad = -.25*log2e*(z2 @ alpha) + mask entered the kernel as data; close
+    # its alpha/z chains here: d rpad_j/d alpha_q = -.25*log2e*z_jq^2 and
+    # d rpad_j/d z_jq = -.5*log2e*alpha_q*z_jq.
+    drp = drpad[:, :1]                                         # (ml, 1)
+    dalpha_total = (
+        dalpha.reshape(qp)
+        + (-0.25 * _LOG2E) * jnp.sum(drp * z2_p, axis=0)
+    ).astype(alpha.dtype)
+    dz_total = (
+        dz[:m] + dzt.T[:m]
+        + ((-0.5 * _LOG2E) * (drp * z_p * alpha_row))[:m]
+    )
+    dsf2 = (dlogsf2[0, 0] / sf2).astype(jnp.asarray(sf2).dtype)
+    dw = jnp.zeros_like(w_arr)  # weights treated as non-differentiable data
+    return dmu[:n], ds[:n], dz_total, dsf2, dalpha_total, dyw[:n], dw
+
+
 def _psi_fused_bwd(tile, interpret, res, cots):
     mu, s, z, sf2, alpha, yw, w_arr = res
     dp1y, dp2 = cots
@@ -656,6 +1061,9 @@ def _psi_fused_bwd(tile, interpret, res, cots):
     n = mu.shape[0]
 
     _, ml = _m_dims(m)
+    if _use_flat(ml, mu.shape[1]):
+        return _call_bwd_flat(
+            mu, s, z, sf2, alpha, yw, w_arr, dp1y, dp2, tile, interpret)
     # The backward's h3 reshape (kk, TN·Ms) -> (kk, TN, Ms) is a Mosaic
     # shape cast that only lowers when the new minor dim is lane-aligned,
     # so the backward runs symmetric Ms = Ml (the forward keeps the

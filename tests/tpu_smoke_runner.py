@@ -27,11 +27,12 @@ def main() -> int:
 
     F = jnp.float32
     failures = []
-    # M=200 hits the asymmetric-padding forward + staircase backward;
-    # M=512 the lane-boundary staircase (minimum tile); M=640 the
-    # lane-chunked full-square fallback kernel (Ml > _STAIR_ML_LIMIT).
+    # M=200 hits the flat-basis fwd+bwd (the production path); M=512 the
+    # flat kernels at their Ml limit (minimum tile); M=640 the lane-chunked
+    # full-square fallback (Ml > _FLAT_ML_LIMIT); Q=44 the triangle-forward
+    # + staircase-backward pair (3Q+2 > 128 disables the flat basis).
     for n, m, q, d in ((64, 200, 10, 12), (24, 512, 10, 12),
-                       (16, 640, 10, 12)):
+                       (16, 640, 10, 12), (24, 256, 44, 4)):
         rng = np.random.default_rng(m)
         y = jnp.asarray(rng.standard_normal((n, d)), F)
         mu = jnp.asarray(rng.standard_normal((n, q)), F)
@@ -74,7 +75,7 @@ def main() -> int:
         print("\n".join(failures))
         return 1
     print("tpu smoke: pallas fwd+bwd matches XLA on hardware "
-          "(M=200, M=512 staircase; M=640 lane-chunked)")
+          "(M=200/512 flat-basis; M=640 lane-chunked; Q=44 staircase)")
     return 0
 
 
