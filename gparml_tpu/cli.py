@@ -345,8 +345,12 @@ def run(options) -> dict:
         init=options.init,
         fixed_beta=options.fixed_beta,
         layout=layout,
+        # pair the transposed latent storage with transposed observations:
+        # under qn NOTHING N-sized is (N, small) in HBM (docs/DESIGN.md §5)
+        y_layout="dn" if layout == "qn" else "nd",
     )
-    y = jnp.asarray(y_np, dtype)
+    # host-side transpose: the (D, N) array uploads in its compact form
+    y = jnp.asarray(y_np.T if layout == "qn" else y_np, dtype)
 
     if options.load and os.path.isdir(options.embeddings):
         if remote:
@@ -442,7 +446,15 @@ def run(options) -> dict:
 
     # ---- save ----
     timer.start("save")
-    mu, s = gplvm.latents(result.params, cfg)
+    if layout == "qn":
+        # pull the compact (Q, N) leaves and transpose on HOST: a device
+        # transpose would materialize the 12.8x lane-padded (N, Q) form
+        # (~4.8 GB at N=1e7) right when the SCG state still holds HBM
+        mu_t, s_t = P.constrain_latents(
+            result.params.lat, options.bijector, "qn", native=True)
+        mu, s = np.asarray(mu_t).T, np.asarray(s_t).T
+    else:
+        mu, s = gplvm.latents(result.params, cfg)
     if remote:
         # Each host persists exactly its own block as one partition file —
         # the reference's per-partition writes; nothing is gathered. Rows

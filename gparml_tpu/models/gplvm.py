@@ -35,6 +35,10 @@ class GPLVMConfig:
     layout: str = "nq"               # latent storage: 'nq' (N, Q) | 'qn' transposed
                                      # ((Q, N): 8x less latent HBM on one chip;
                                      # single-device only — see params.LatentParams)
+    y_layout: str = "nd"             # observation layout: 'nd' (N, D) | 'dn'
+                                     # transposed (D, N) — pair with layout='qn'
+                                     # so NOTHING N-sized pays the (N, small)
+                                     # lane padding (single-chip N=1e7)
     s0: float = 0.5                  # initial variational variance
     fixed_embeddings: bool = False   # reference --fixed_embeddings
     fixed_beta: bool = False         # reference --fixed_beta
@@ -62,6 +66,30 @@ def init_params(
     hypers default to sf2=1, alpha=1, beta=10/var(Y) (reference defaults,
     SURVEY.md §3.1/§3.5 [C-MED])."""
     k1, k2 = jax.random.split(key)
+    if (config.y_layout == "dn" and config.layout == "qn"
+            and config.init == "random"):
+        # Fully (Q, N)-native init: random latents are N(0, 1), so Z can be
+        # sampled from the same distribution directly — no (N, small)
+        # row-major array ever exists, even transiently (at the single-chip
+        # N=1e7 scale one such transient is ~4.8 GB of lane-padded HBM).
+        from gparml_tpu.utils import transforms
+        n = y.shape[1]
+        dtype = y.dtype
+        mu_t = jax.random.normal(k1, (config.q, n), dtype=dtype)
+        bij = transforms.get(config.bijector)
+        u_s_t = bij.inverse(jnp.full((config.q, n), config.s0, dtype=dtype))
+        k2a, k2b = jax.random.split(k2)
+        z = jax.random.normal(k2a, (config.num_inducing, config.q), dtype)
+        z = z + 1e-2 * jax.random.normal(k2b, z.shape, dtype)
+        if alpha is None:
+            alpha = jnp.ones((config.q,), dtype=dtype)
+        if beta is None:
+            beta = 10.0 / jnp.maximum(jnp.var(y), 1e-6)
+        glob = P.make_global(z, sf2, alpha, beta, bijector=config.bijector)
+        return P.GPLVMParams(
+            glob=glob, lat=P.LatentParams(mu=mu_t, u_s=u_s_t))
+    if config.y_layout == "dn":
+        y = y.T  # init math is row-major (PCA / var); one-time, outside jit
     mu, s = init_utils.init_latents(k1, y, config.q, method=config.init, s0=config.s0)
     z = init_utils.init_inducing(k2, mu, config.num_inducing)
     if alpha is None:
@@ -73,28 +101,74 @@ def init_params(
     return P.GPLVMParams(glob=glob, lat=lat)
 
 
+def _d_of(y, config: GPLVMConfig) -> int:
+    return y.shape[0] if config.y_layout == "dn" else y.shape[1]
+
+
+def _qn_native(config: GPLVMConfig, mesh) -> bool:
+    """The (Q, N)-native kernel route: qn storage, single chip, pallas
+    engine (the transposed XLA scan does not exist; stats_impl='xla' with
+    layout='qn' transposes at the boundary and pays the padded layout).
+    'auto' resolves exactly as parallel.stats._local_stats does — pallas
+    on TPU, XLA elsewhere — and the M > pallas-limit shapes take the same
+    XLA fallback as the row-major path."""
+    if config.layout != "qn" or mesh is not None:
+        return False
+    impl = config.stats_impl
+    on_tpu = jax.default_backend() == "tpu"
+    if impl == "auto":
+        impl = "pallas" if on_tpu else "xla"
+    if impl != "pallas":
+        return False
+    from gparml_tpu.ops import psi_pallas
+    # shapes outside the (Q, N)-native kernel window take the transposed
+    # XLA scan below — correct at any M, still nothing (N, small) in HBM
+    return psi_pallas.qn_native_ok(config.num_inducing, config.q,
+                                   interpret=not on_tpu)
+
+
+def _stats(p: P.GPLVMParams, y, config: GPLVMConfig, mesh=None, weights=None):
+    z, sf2, alpha, _ = P.constrain(p.glob, config.bijector)
+    if _qn_native(config, mesh):
+        from gparml_tpu.ops import psi_pallas
+        mu_t, s_t = P.constrain_latents(
+            p.lat, config.bijector, "qn", native=True)
+        y_t = y if config.y_layout == "dn" else y.T
+        return psi_pallas.suff_stats_t(
+            y_t, mu_t, s_t, z, sf2, alpha, weights=weights,
+            tile=config.pallas_tile,
+        )
+    if config.layout == "qn" and mesh is None:
+        # XLA engine (or out-of-window M) in the transposed layout: the
+        # blocked transposed scan — per-block slab transposes, never a
+        # whole-array relayout into the 12.8x lane-padded form.
+        mu_t, s_t = P.constrain_latents(
+            p.lat, config.bijector, "qn", native=True)
+        y_t = y if config.y_layout == "dn" else y.T
+        return psi.suff_stats_t(
+            y_t, mu_t, s_t, z, sf2, alpha, block=config.block,
+            weights=weights)
+    mu, s = P.constrain_latents(p.lat, config.bijector, config.layout)
+    y_nd = y.T if config.y_layout == "dn" else y
+    return suff_stats_auto(
+        y_nd, mu, s, z, sf2, alpha, mesh=mesh, block=config.block,
+        weights=weights, impl=config.stats_impl, tile=config.pallas_tile,
+    )
+
+
 def suff_stats(
     p: P.GPLVMParams, y, config: GPLVMConfig, mesh=None, weights=None
 ) -> psi.SufficientStats:
-    z, sf2, alpha, _ = P.constrain(p.glob, config.bijector)
-    mu, s = P.constrain_latents(p.lat, config.bijector, config.layout)
-    return suff_stats_auto(
-        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights,
-        impl=config.stats_impl, tile=config.pallas_tile,
-    )
+    return _stats(p, y, config, mesh=mesh, weights=weights)
 
 
 def log_bound(p: P.GPLVMParams, y, config: GPLVMConfig, mesh=None, weights=None) -> jnp.ndarray:
     """Evidence lower bound. With ``mesh``, y/weights and the latent leaves
     of ``p`` are sharded over the data axis (the reference's partitions)."""
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
-    mu, s = P.constrain_latents(p.lat, config.bijector, config.layout)
-    stats = suff_stats_auto(
-        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights,
-        impl=config.stats_impl, tile=config.pallas_tile,
-    )
+    stats = _stats(p, y, config, mesh=mesh, weights=weights)
     return bound_ops.bound_from_stats(
-        stats, z, sf2, alpha, beta, d=y.shape[1], jitter=config.jitter
+        stats, z, sf2, alpha, beta, d=_d_of(y, config), jitter=config.jitter
     )
 
 
@@ -109,15 +183,16 @@ def neg_bound_value_and_grad(p, y, config: GPLVMConfig, mask=None, mesh=None, we
 
 def _check(p: P.GPLVMParams, y, config: GPLVMConfig):
     if y.ndim != 2:
-        raise ValueError(f"Y must be (N, D); got {y.shape}")
+        raise ValueError(f"Y must be 2-D; got {y.shape}")
     if config.layout == "qn":
         q, n = p.lat.mu.shape
     else:
         n, q = p.lat.mu.shape
-    if y.shape[0] != n:
+    y_n = y.shape[1] if config.y_layout == "dn" else y.shape[0]
+    if y_n != n:
         raise ValueError(
-            f"Y has N={y.shape[0]} rows but latents have N={n} "
-            "(shard_data pads both together; pass matching arrays)"
+            f"Y has N={y_n} (layout {config.y_layout!r}) but latents have "
+            f"N={n} (shard_data pads both together; pass matching arrays)"
         )
     if q != config.q:
         raise ValueError(f"latents have Q={q} but config.q={config.q}")
@@ -184,11 +259,7 @@ def fit(
 def predict_observed(p: P.GPLVMParams, y, x_star, config: GPLVMConfig, mesh=None, weights=None):
     """Predictive p(y* | x*) at given latent locations x_star."""
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
-    mu, s = P.constrain_latents(p.lat, config.bijector, config.layout)
-    stats = suff_stats_auto(
-        y, mu, s, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights,
-        impl=config.stats_impl, tile=config.pallas_tile,
-    )
+    stats = _stats(p, y, config, mesh=mesh, weights=weights)
     return bound_ops.predict(x_star, stats, z, sf2, alpha, beta, jitter=config.jitter)
 
 
@@ -220,6 +291,9 @@ def infer_latents(
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
     stats_train = suff_stats(p, y_train, config, mesh=mesh, weights=weights)
     stats_train = jax.tree.map(jax.lax.stop_gradient, stats_train)
+    # the nn-init / new-point math below runs row-major; y_new is small
+    if config.y_layout == "dn":
+        y_train, y_new = y_train.T, y_new.T
     d = y_new.shape[1]
 
     # nearest-training-point init in data space

@@ -57,12 +57,15 @@ def constrain(g: GlobalParams, bijector: str = "exp"):
 
 
 def constrain_latents(l: LatentParams, bijector: str = "exp",
-                      layout: str = "nq"):
-    """Unconstrained LatentParams -> (mu, s), always returned (N, Q) in
-    natural space (transposing out of the ``qn`` storage layout)."""
+                      layout: str = "nq", native: bool = False):
+    """Unconstrained LatentParams -> (mu, s) in natural space, returned
+    (N, Q) by default (transposing out of the ``qn`` storage layout).
+    ``native=True`` keeps the storage layout — the large-N path hands
+    (Q, N) leaves straight to the transposed kernels so the 12.8x
+    lane-padded (N, Q) form never exists in HBM."""
     bij = transforms.get(bijector)
     mu, u_s = l.mu, l.u_s
-    if layout == "qn":
+    if layout == "qn" and not native:
         mu, u_s = mu.T, u_s.T
     return mu, bij.forward(u_s)
 
@@ -82,12 +85,17 @@ def make_global(z, sf2, alpha, beta, bijector: str = "exp") -> GlobalParams:
 def make_latents(mu, s, bijector: str = "exp",
                  layout: str = "nq") -> LatentParams:
     """Build LatentParams from natural-space (N, Q) values; stores leaves
-    transposed when layout='qn' (see LatentParams)."""
+    transposed when layout='qn' (see LatentParams). The qn transpose runs
+    on HOST so only the compact (Q, N) form ever uploads — a device-side
+    transpose would transiently materialize the 12.8x lane-padded (N, Q)
+    array (~4.8 GB at N=1e7, Q=10)."""
     bij = transforms.get(bijector)
+    if layout == "qn":
+        import numpy as _np
+        mu = _np.ascontiguousarray(_np.asarray(mu).T)
+        s = _np.ascontiguousarray(_np.asarray(s).T)
     mu = jnp.asarray(mu)
     u_s = bij.inverse(jnp.asarray(s, dtype=mu.dtype))
-    if layout == "qn":
-        mu, u_s = mu.T, u_s.T
     return LatentParams(mu=mu, u_s=u_s)
 
 

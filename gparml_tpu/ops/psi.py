@@ -236,3 +236,85 @@ def suff_stats(
             init = jax.lax.pvary(init, vary_axis)
     (p1y, p2), _ = jax.lax.scan(body, init, xs)
     return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
+
+
+def suff_stats_t(
+    y_t: jnp.ndarray,
+    mu_t: jnp.ndarray,
+    s_t: jnp.ndarray,
+    z: jnp.ndarray,
+    sf2,
+    alpha,
+    block: Optional[int] = None,
+    weights: Optional[jnp.ndarray] = None,
+) -> SufficientStats:
+    """(Q, N)-native sufficient statistics via the blocked XLA scan.
+
+    The XLA engine for GPLVMConfig(layout='qn', y_layout='dn'): inputs are
+    stored transposed — y_t (D, N), mu_t/s_t (Q, N) — so no array ever pays
+    XLA:TPU's 12.8x lane-padding of (N, small) tensors (docs/DESIGN.md §5).
+    Each scan step transposes ONE (Q, block) slab into row-major form and
+    reuses the psi1/psi2_sum math verbatim; the transient (block, Q) slab is
+    O(block·128) padded bytes, independent of N. This is the correct any-M
+    fallback for the shapes outside the Pallas flat window (Ml < 256 or
+    M > the pallas engine limit) at single-chip N where a whole-array
+    transpose would not fit HBM.
+    """
+    if s_t is None:
+        raise ValueError(
+            "SGPR (s=None) statistics are plain MXU matmuls; use suff_stats"
+        )
+    q, n = mu_t.shape
+    d = y_t.shape[0]
+    if weights is None:
+        n_f = jnp.asarray(n, dtype=y_t.dtype)
+        w = None
+        yy = jnp.sum(y_t * y_t)
+    else:
+        n_f = jnp.sum(weights)
+        w = weights
+        yy = jnp.sum((y_t * weights[None, :]) * y_t)
+    psi0 = n_f * sf2
+
+    per_n = 0.5 * jnp.sum(mu_t * mu_t + s_t - jnp.log(s_t) - 1.0, axis=0)
+    kl = jnp.sum(per_n if w is None else per_n * w)
+
+    if block is None or block >= n:
+        mu, s = mu_t.T, s_t.T
+        p1 = psi1(mu, s, z, sf2, alpha)
+        yw = y_t.T if w is None else (y_t * w[None, :]).T
+        p1y = jnp.matmul(p1.T, yw, precision="highest")
+        p2 = psi2_sum(mu, s, z, sf2, alpha, w)
+        return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
+
+    if n % block != 0:
+        raise ValueError(f"N={n} must be a multiple of block={block}")
+
+    m = z.shape[0]
+    nb = n // block
+    w_full = jnp.ones((n,), dtype=y_t.dtype) if w is None else w
+
+    @jax.checkpoint
+    def body(carry, xs):
+        p1y_acc, p2_acc = carry
+        ybt, mubt, sbt, wb = xs
+        mub, sb = mubt.T, sbt.T
+        p1b = psi1(mub, sb, z, sf2, alpha)
+        p2b = psi2_sum(mub, sb, z, sf2, alpha, wb)
+        p1yb = jnp.matmul(p1b.T, (ybt * wb[None, :]).T, precision="highest")
+        return (p1y_acc + p1yb, p2_acc + p2b), None
+
+    # (Q, N) -> (nb, Q, block): one HBM copy of the COMPACT transposed form
+    # (1.6x sublane pad), never the 12.8x padded row-major array.
+    xs = (
+        jnp.swapaxes(y_t.reshape(d, nb, block), 0, 1),
+        jnp.swapaxes(mu_t.reshape(q, nb, block), 0, 1),
+        jnp.swapaxes(s_t.reshape(q, nb, block), 0, 1),
+        w_full.reshape(nb, block),
+    )
+    init = (
+        jnp.zeros((m, d), dtype=y_t.dtype),
+        jnp.zeros((m, m), dtype=y_t.dtype),
+    )
+    (p1y, p2), _ = jax.lax.scan(body, init, xs)
+    return SufficientStats(psi0, p1y, p2, yy, kl, n_f)

@@ -42,6 +42,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from gparml_tpu.ops.precise import _comp_dg, _round_bf16, compensated_dot
 from gparml_tpu.ops.psi import SufficientStats, kl_qp
@@ -573,22 +574,18 @@ def _mirror_blockdiag(p2, ml, dtype):
     return p2 + p2.T - p2 * eye_b
 
 
-def _fwd_kernel_flat(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
-                     alpha_ref, logsf2_ref, rz3_ref, rpad_ref,
-                     p1y_ref, p2_ref, *, m_real: int):
+def _fwd_flat_body(mu, s, yw, w, z_ref, z2_ref, alpha_ref, logsf2_ref,
+                   rz3_ref, rpad_ref, p1y_ref, p2_ref, m_real: int):
+    """Shared flat-forward tile body: (tn, .)-shaped VALUES for the N-sized
+    inputs (so the (N, Q)- and (Q, N)-blocked kernels share all math), refs
+    for the replicated inputs and the on-chip accumulators."""
     f32 = jnp.float32
-    tn, qp = mu_ref.shape
+    tn, qp = mu.shape
     ml = z_ref.shape[0]
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        p1y_ref[:] = jnp.zeros_like(p1y_ref)
-        p2_ref[:] = jnp.zeros_like(p2_ref)
-
-    logw = jnp.maximum(jnp.log(w_ref[:]), w_ref[:] * 0.0 + _NEG_BIG)
+    logw = jnp.maximum(jnp.log(w), w * 0.0 + _NEG_BIG)
     alphab = jnp.broadcast_to(alpha_ref[:], (tn, qp))
     lq, coef, c2mu, c2p, rs, nsc = _tile_basis(
-        mu_ref[:], s_ref[:], z_ref[:], z2_ref[:], alphab,
+        mu, s, z_ref[:], z2_ref[:], alphab,
         logsf2_ref[:], logw, rpad_ref[:])
     rowside_full = rs + nsc
     coefT, c2muT, c2pT = _t2(coef), _t2(c2mu), _t2(c2p)
@@ -597,7 +594,7 @@ def _fwd_kernel_flat(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
     ).astype(f32) * _NEG_BIG
     psi1 = jnp.exp2(lq + neg_pad)
     p1y_ref[:] += jax.lax.dot_general(
-        psi1, yw_ref[:], (((0,), (0,)), ((), ())), preferred_element_type=f32,
+        psi1, yw, (((0,), (0,)), ((), ())), preferred_element_type=f32,
         precision=jax.lax.Precision.HIGHEST)
 
     for r0 in range(0, ml, 128):
@@ -612,40 +609,97 @@ def _fwd_kernel_flat(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
         p2_ref[r0:r0 + 128, r0:ml] += jnp.sum(e, axis=0)
 
 
-def _bwd_kernel_flat(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
+def _fwd_kernel_flat(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
                      alpha_ref, logsf2_ref, rz3_ref, rpad_ref,
-                     dp1y_ref, dp2s_ref,
-                     dmu_ref, ds_ref, dyw_ref, dz_ref, dzt_ref,
-                     dalpha_ref, dlogsf2_ref, drpad_ref, *, m_real: int):
-    """Flat-basis backward. The per-slab H-dot generalizes the old zext-dot
+                     p1y_ref, p2_ref, *, m_real: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        p1y_ref[:] = jnp.zeros_like(p1y_ref)
+        p2_ref[:] = jnp.zeros_like(p2_ref)
+
+    _fwd_flat_body(mu_ref[:], s_ref[:], yw_ref[:], w_ref[:], z_ref, z2_ref,
+                   alpha_ref, logsf2_ref, rz3_ref, rpad_ref,
+                   p1y_ref, p2_ref, m_real)
+
+
+def _sub_rows(xt, off, st: int, interpret: bool):
+    """Rows [off, off+st) of xt with a TRACED offset. Mosaic has no lowering
+    for value-level dynamic_slice, but tpu.DynamicRotateOp takes dynamic
+    shifts — roll the wanted rows to the top and slice statically. Interpret
+    mode is the reverse: no pltpu.roll rule, but dynamic_slice works."""
+    if st == xt.shape[0]:
+        return xt
+    if interpret:
+        return jax.lax.dynamic_slice_in_dim(xt, off, st, axis=0)
+    return jax.lax.slice_in_dim(pltpu.roll(xt, -off, 0), 0, st, axis=0)
+
+
+def _place_rows(r, off, lb: int, interpret: bool):
+    """Inverse of _sub_rows for accumulation: an (st, k) sub-result placed at
+    row offset ``off`` of an (lb, k) zero field (static pad at 0, dynamic
+    roll into position)."""
+    st = r.shape[0]
+    if interpret:
+        return jax.lax.dynamic_update_slice_in_dim(
+            jnp.zeros((lb,) + r.shape[1:], r.dtype), r, off, axis=0)
+    rp = jnp.pad(r, ((0, lb - st),) + ((0, 0),) * (r.ndim - 1))
+    return pltpu.roll(rp, off, 0)
+
+
+def _fwd_kernel_flat_t(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
+                       alpha_ref, logsf2_ref, rz3_ref, rpad_ref,
+                       p1y_ref, p2_ref, *, m_real: int, st: int,
+                       interpret: bool):
+    """(Q, N)-native flat forward: blocks arrive transposed — mu/s (Qp, LB),
+    yw (D, LB), w (1, LB) with LB a 128-multiple lane block of the N axis
+    (Mosaic requires lane blocks to be 128-aligned) — and grid axis 1 walks
+    LB/st sub-tiles so the per-step VMEM working set stays at the calibrated
+    (st, ...) budget. Nothing (N, small) ever exists in HBM: the 12.8x
+    lane-padding expansion of (N, Q<=10) arrays becomes a 1.6x sublane pad."""
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        p1y_ref[:] = jnp.zeros_like(p1y_ref)
+        p2_ref[:] = jnp.zeros_like(p2_ref)
+
+    off = pl.program_id(1) * st
+    mu = _sub_rows(_t2(mu_ref[:]), off, st, interpret)
+    s = _sub_rows(_t2(s_ref[:]), off, st, interpret)
+    yw = _sub_rows(_t2(yw_ref[:]), off, st, interpret)
+    w = _sub_rows(_t2(w_ref[:]), off, st, interpret)
+    _fwd_flat_body(mu, s, yw, w, z_ref, z2_ref,
+                   alpha_ref, logsf2_ref, rz3_ref, rpad_ref,
+                   p1y_ref, p2_ref, m_real)
+
+
+def _bwd_flat_body(mu, s, yw, w, z_ref, z2_ref,
+                   alpha_ref, logsf2_ref, rz3_ref, rpad_ref,
+                   dp1y_ref, dp2s_ref, m_real: int):
+    """Flat-basis backward tile body (shared by the (N, Q)- and
+    (Q, N)-blocked kernels; N-sized inputs arrive as (tn, .) VALUES).
+    The per-slab H-dot generalizes the old zext-dot
     to the full basis: dlhs[k, (n,i)] = sum_j RZ[k, j] G[(n,i), j] with
     G = exp2(lp) * sym(dPsi2) and the mirror contribution transposed in from
     the same slab (G symmetric), exactly as the staircase kernel. Parameter
     chains flow through jax.vjp of _tile_basis; by row/col symmetry the
     column-side cotangents of the c2mu'/c2p'/rpad basis rows equal the
     row-side ones, so rs's cotangent is doubled and those rows discarded.
-    rpad's own chain (dalpha, dz) is closed outside the kernel via drpad."""
+    rpad's own chain (dalpha, dz) is closed outside the kernel via drpad.
+
+    Returns per-tile cotangent VALUES:
+    (dmu, ds, dyw, dz2d, dzt_add, dalpha_row, dlogsf2, drpad)."""
     f32 = jnp.float32
-    tn, qp = mu_ref.shape
+    tn, qp = mu.shape
     ml = z_ref.shape[0]
     kx = 3 * qp + 2
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        dz_ref[:] = jnp.zeros_like(dz_ref)
-        dzt_ref[:] = jnp.zeros_like(dzt_ref)
-        dalpha_ref[:] = jnp.zeros_like(dalpha_ref)
-        dlogsf2_ref[:] = jnp.zeros_like(dlogsf2_ref)
-        drpad_ref[:] = jnp.zeros_like(drpad_ref)
-
-    logw = jnp.maximum(jnp.log(w_ref[:]), w_ref[:] * 0.0 + _NEG_BIG)
+    logw = jnp.maximum(jnp.log(w), w * 0.0 + _NEG_BIG)
     alphab = jnp.broadcast_to(alpha_ref[:], (tn, qp))
 
     def small_fn(mu, s, z, alphab, logsf2, rpad):
         return _tile_basis(mu, s, z, z * z, alphab, logsf2, logw, rpad)
 
     (lq, coef, c2mu, c2p, rs, nsc), vjp2 = jax.vjp(
-        small_fn, mu_ref[:], s_ref[:], z_ref[:], alphab, logsf2_ref[:],
+        small_fn, mu, s, z_ref[:], alphab, logsf2_ref[:],
         rpad_ref[:])
     rowside_full = rs + nsc
 
@@ -653,9 +707,9 @@ def _bwd_kernel_flat(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
         jax.lax.broadcasted_iota(jnp.int32, (1, ml), 1) >= m_real
     ).astype(f32) * _NEG_BIG
     psi1 = jnp.exp2(lq + neg_pad)
-    dpsi1 = _comp_dg(yw_ref[:], dp1y_ref[:], 1, 1)
+    dpsi1 = _comp_dg(yw, dp1y_ref[:], 1, 1)
     dlq = (_LN2 * dpsi1) * psi1
-    dyw_ref[:] = _comp_dg(psi1, dp1y_ref[:], 1, 0)
+    dyw = _comp_dg(psi1, dp1y_ref[:], 1, 0)
 
     coefT, c2muT, c2pT = _t2(coef), _t2(c2mu), _t2(c2p)
     dn = (((1,), (1,)), ((), ()))
@@ -705,19 +759,109 @@ def _bwd_kernel_flat(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
     zT_all = _t2(z_ref[:])
     dcoefz = dlhs[:qp]                                            # (qp,tn,Ml)
     dcoef = jnp.sum(dcoefz * zT_all[:, None, :], axis=2).T        # (tn, qp)
-    dzt_ref[:] += 2.0 * jnp.sum(dcoefz * coefT[:, :, None], axis=1)
+    dzt_add = 2.0 * jnp.sum(dcoefz * coefT[:, :, None], axis=1)
     drowside = dlhs[3 * qp]                                       # (tn, Ml)
     dnsc = jnp.sum(drowside, axis=1, keepdims=True)
 
     dmu, ds, dz2d, dalphab, dlogsf2, drpad = vjp2(
         (dlq, dcoef, jnp.zeros_like(c2mu), jnp.zeros_like(c2p),
          2.0 * drowside, dnsc))
+    return (dmu, ds, dyw, dz2d, dzt_add,
+            jnp.sum(dalphab, axis=0, keepdims=True), dlogsf2, drpad)
+
+
+def _bwd_kernel_flat(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
+                     alpha_ref, logsf2_ref, rz3_ref, rpad_ref,
+                     dp1y_ref, dp2s_ref,
+                     dmu_ref, ds_ref, dyw_ref, dz_ref, dzt_ref,
+                     dalpha_ref, dlogsf2_ref, drpad_ref, *, m_real: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dz_ref[:] = jnp.zeros_like(dz_ref)
+        dzt_ref[:] = jnp.zeros_like(dzt_ref)
+        dalpha_ref[:] = jnp.zeros_like(dalpha_ref)
+        dlogsf2_ref[:] = jnp.zeros_like(dlogsf2_ref)
+        drpad_ref[:] = jnp.zeros_like(drpad_ref)
+
+    dmu, ds, dyw, dz2d, dzt_add, dalpha_row, dlogsf2, drpad = _bwd_flat_body(
+        mu_ref[:], s_ref[:], yw_ref[:], w_ref[:], z_ref, z2_ref,
+        alpha_ref, logsf2_ref, rz3_ref, rpad_ref, dp1y_ref, dp2s_ref, m_real)
     dmu_ref[:] = dmu
     ds_ref[:] = ds
+    dyw_ref[:] = dyw
     dz_ref[:] += dz2d
-    dalpha_ref[:] += jnp.sum(dalphab, axis=0, keepdims=True)
+    dzt_ref[:] += dzt_add
+    dalpha_ref[:] += dalpha_row
     dlogsf2_ref[:] += dlogsf2
     drpad_ref[:] += drpad
+
+
+def _bwd_kernel_flat_t(mu_ref, s_ref, yw_ref, w_ref, z_ref, z2_ref,
+                       alpha_ref, logsf2_ref, rz3_ref, rpad_ref,
+                       dp1y_ref, dp2s_ref,
+                       dmu_ref, ds_ref, dyw_ref, dz_ref, dzt_ref,
+                       dalpha_ref, dlogsf2_ref, drpad_ref,
+                       *, m_real: int, st: int, interpret: bool):
+    """(Q, N)-native flat backward. Blocks arrive transposed (lane blocks of
+    N must be 128-multiples), and a fori_loop walks LB/st sub-tiles INSIDE
+    the kernel — a real loop, so Mosaic reuses the slab temporaries across
+    sub-tiles and the retained VMEM stays at the calibrated (st, ...) budget
+    (an unrolled Python loop would retain every sub-tile's slabs and
+    overflow scoped VMEM at LB=128). The N-sized cotangents accumulate in
+    (LB, .) carries and store transposed ONCE per block, so dmu/ds/dyw also
+    live (Q, N)/(D, N) in HBM."""
+    f32 = jnp.float32
+    qp, lb = mu_ref.shape
+    d = yw_ref.shape[0]
+    ml = z_ref.shape[0]
+    dtype = mu_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dz_ref[:] = jnp.zeros_like(dz_ref)
+        dzt_ref[:] = jnp.zeros_like(dzt_ref)
+        dalpha_ref[:] = jnp.zeros_like(dalpha_ref)
+        dlogsf2_ref[:] = jnp.zeros_like(dlogsf2_ref)
+        drpad_ref[:] = jnp.zeros_like(drpad_ref)
+
+    muT = _t2(mu_ref[:])
+    sT = _t2(s_ref[:])
+    ywT = _t2(yw_ref[:])
+    wT = _t2(w_ref[:])
+
+    def body(j, carry):
+        dmu_b, ds_b, dyw_b, dz_a, dzt_a, dal_a, dls_a, drp_a = carry
+        off = j * st
+        mu = _sub_rows(muT, off, st, interpret)
+        s = _sub_rows(sT, off, st, interpret)
+        yw = _sub_rows(ywT, off, st, interpret)
+        w = _sub_rows(wT, off, st, interpret)
+        dmu, ds, dyw, dz2d, dzt_add, dal, dls, drp = _bwd_flat_body(
+            mu, s, yw, w, z_ref, z2_ref, alpha_ref, logsf2_ref,
+            rz3_ref, rpad_ref, dp1y_ref, dp2s_ref, m_real)
+        dmu_b = dmu_b + _place_rows(dmu, off, lb, interpret)
+        ds_b = ds_b + _place_rows(ds, off, lb, interpret)
+        dyw_b = dyw_b + _place_rows(dyw, off, lb, interpret)
+        return (dmu_b, ds_b, dyw_b, dz_a + dz2d, dzt_a + dzt_add,
+                dal_a + dal, dls_a + dls, drp_a + drp)
+
+    init = (
+        jnp.zeros((lb, qp), dtype), jnp.zeros((lb, qp), dtype),
+        jnp.zeros((lb, d), dtype), jnp.zeros((ml, qp), f32),
+        jnp.zeros((qp, ml), f32), jnp.zeros((1, qp), f32),
+        jnp.zeros((1, 1), f32), jnp.zeros((ml, 1), f32),
+    )
+    trips = lb // st
+    out = body(0, init) if trips == 1 else jax.lax.fori_loop(
+        0, trips, body, init)
+    dmu_ref[:] = _t2(out[0])
+    ds_ref[:] = _t2(out[1])
+    dyw_ref[:] = _t2(out[2])
+    dz_ref[:] += out[3]
+    dzt_ref[:] += out[4]
+    dalpha_ref[:] += out[5]
+    dlogsf2_ref[:] += out[6]
+    drpad_ref[:] += out[7]
 
 
 def _pad_inputs(mu, s, yw, w, z, tile):
@@ -843,11 +987,38 @@ def _fit_tile(tile: int, ms: int, ml: int, budget_elems: int) -> int:
     return max(8, t - (t % 8))
 
 
+def _flat_subtile(budget_tile: int) -> int:
+    """Sub-tile for the (Q, N)-native kernels: the largest 8-multiple
+    divisor of the 128-lane block that fits the calibrated budget (the
+    in-kernel loop keeps retained VMEM at st, not LB)."""
+    for c in (128, 64, 32, 16, 8):
+        if c <= budget_tile:
+            return c
+    return 8
+
+
 def _use_flat(ml: int, q: int) -> bool:
     """Route through the flat-basis kernels: >= 2 lane blocks (one full
     block is already minimal for the old kernels), slab working sets within
     the calibrated VMEM budgets, and the 3Q+2 basis inside ONE MXU K-tile."""
     return 2 * 128 <= ml <= _FLAT_ML_LIMIT and 3 * q + 2 <= 128
+
+
+# Hardware window for the (Q, N)-native kernels. ml=256 (M<=200) is proven
+# on a real v5e up to N=1e7; ml=512 COMPILED but crashed the TPU worker at
+# N=1e7/M=500 (unreproduced — the chip went down before the bisect landed).
+# Until a hardware session proves ml in {384, 512} at small N, the model
+# dispatch keeps those shapes on the transposed XLA scan (psi.suff_stats_t)
+# — correct at any M, no kernel risk. Interpret mode keeps the full flat
+# window so CPU parity tests cover every sub-tile ladder.
+_FLAT_T_ML_HW_LIMIT = 256
+
+
+def qn_native_ok(m: int, q: int, interpret: bool) -> bool:
+    """Can suff_stats_t route (m, q) through the (Q, N)-native kernels?"""
+    _, ml = _m_dims(m)
+    lim = _FLAT_ML_LIMIT if interpret else _FLAT_T_ML_HW_LIMIT
+    return 2 * 128 <= ml <= lim and 3 * q + 2 <= 128
 
 
 def _call_fwd_flat(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret):
@@ -1155,6 +1326,209 @@ def _psi_fused_bwd(tile, interpret, res, cots):
 
 
 psi_fused.defvjp(_psi_fused_fwd, _psi_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# (Q, N)-native entry points: the single-chip large-N path. XLA:TPU tiles
+# f32 HBM arrays to (8, 128), so any (N, Q<=10) array physically occupies
+# 12.8x its logical bytes — at N=1e7 that is ~4.8 GB PER ARRAY and the seven
+# N-sized tensors of a bound+grad eval overflow one chip's HBM. Stored and
+# consumed (Q, N)/(D, N), the pad is a 1.6x sublane roundup instead, and the
+# same eval fits comfortably (docs/DESIGN.md §5). Flat-basis kernels only
+# (2 <= Ml/128 blocks <= 4 covers the M=200..500 baseline shapes).
+# ---------------------------------------------------------------------------
+
+
+def _call_fwd_flat_t(mu_t, s_t, z, sf2, alpha, yw_t, w_arr, tile, interpret):
+    d = yw_t.shape[0]
+    m = z.shape[0]
+    dtype = mu_t.dtype
+    _, ml = _m_dims(m)
+    lb = 128
+    st = _flat_subtile(
+        _flat_tile(tile if interpret else 256, ml, _FLAT_FWD_ELEMS))
+    mu_p, s_p, yw_p, w_p, z_p, npad, qp, ml = _pad_inputs_t(
+        mu_t, s_t, yw_t, w_arr, z, lb)
+    z2_p = z_p * z_p
+    alpha_row = alpha.reshape(1, qp).astype(dtype)
+    logsf2 = jnp.log(jnp.asarray(sf2, dtype)).reshape(1, 1)
+    rz3, rpad = _rz3_inputs(z_p, z2_p, alpha_row, m)
+    kx = 3 * qp + 2
+    kernel = functools.partial(_fwd_kernel_flat_t, m_real=m, st=st,
+                               interpret=interpret)
+    p1y, p2 = pl.pallas_call(
+        kernel,
+        grid=(npad // lb, lb // st),
+        in_specs=[
+            pl.BlockSpec((qp, lb), lambda i, j: (0, i)),       # mu^T
+            pl.BlockSpec((qp, lb), lambda i, j: (0, i)),       # s^T
+            pl.BlockSpec((d, lb), lambda i, j: (0, i)),        # yw^T
+            pl.BlockSpec((1, lb), lambda i, j: (0, i)),        # w
+            pl.BlockSpec((ml, qp), lambda i, j: (0, 0)),       # z
+            pl.BlockSpec((ml, qp), lambda i, j: (0, 0)),       # z2
+            pl.BlockSpec((1, qp), lambda i, j: (0, 0)),        # alpha
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0)),         # log sf2
+            pl.BlockSpec((3 * kx, ml), lambda i, j: (0, 0)),   # rz3 rungs
+            pl.BlockSpec((ml, 1), lambda i, j: (0, 0)),        # rpad
+        ],
+        out_specs=[
+            pl.BlockSpec((ml, d), lambda i, j: (0, 0)),
+            pl.BlockSpec((ml, ml), lambda i, j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ml, d), dtype),
+            jax.ShapeDtypeStruct((ml, ml), dtype),
+        ],
+        interpret=interpret,
+    )(mu_p, s_p, yw_p, w_p.reshape(1, -1), z_p, z2_p, alpha_row, logsf2,
+      rz3, rpad)
+    p2 = _mirror_blockdiag(p2, ml, dtype)
+    return p1y[:m], p2[:m, :m]
+
+
+def _call_bwd_flat_t(mu_t, s_t, z, sf2, alpha, yw_t, w_arr, dp1y, dp2, tile,
+                     interpret):
+    d = yw_t.shape[0]
+    m = z.shape[0]
+    dtype = mu_t.dtype
+    n = mu_t.shape[1]
+    _, ml = _m_dims(m)
+    lb = 128
+    st = _flat_subtile(
+        _flat_tile(tile if interpret else 256, ml, _FLAT_BWD_ELEMS))
+    mu_p, s_p, yw_p, w_p, z_p, npad, qp, ml = _pad_inputs_t(
+        mu_t, s_t, yw_t, w_arr, z, lb)
+    z2_p = z_p * z_p
+    alpha_row = alpha.reshape(1, qp).astype(dtype)
+    logsf2 = jnp.log(jnp.asarray(sf2, dtype)).reshape(1, 1)
+    rz3, rpad = _rz3_inputs(z_p, z2_p, alpha_row, m)
+    dp1y_p = jnp.zeros((ml, d), dtype).at[:m].set(dp1y)
+    dp2s = 0.5 * (dp2 + dp2.T)
+    dp2_p = jnp.zeros((ml, ml), dtype).at[:m, :m].set(dp2s)
+    kx = 3 * qp + 2
+    kernel = functools.partial(_bwd_kernel_flat_t, m_real=m, st=st,
+                               interpret=interpret)
+    # The fori carries + transposed block copies sit ~120K above the 16M
+    # default scoped-vmem limit at st=64/Ml=256; a 2M bump keeps st=64
+    # (halving st to 32 costs real MXU contraction depth, and the playbook's
+    # "bigger limits hurt pipelining" finding was for 100M, not this).
+    params = None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=18 * 1024 * 1024)
+    dmu, ds, dyw, dz, dzt, dalpha, dlogsf2, drpad = pl.pallas_call(
+        kernel,
+        grid=(npad // lb,),
+        compiler_params=params,
+        in_specs=[
+            pl.BlockSpec((qp, lb), lambda i: (0, i)),
+            pl.BlockSpec((qp, lb), lambda i: (0, i)),
+            pl.BlockSpec((d, lb), lambda i: (0, i)),
+            pl.BlockSpec((1, lb), lambda i: (0, i)),
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),
+            pl.BlockSpec((1, qp), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((3 * kx, ml), lambda i: (0, 0)),      # rz3 rungs
+            pl.BlockSpec((ml, 1), lambda i: (0, 0)),           # rpad
+            pl.BlockSpec((ml, d), lambda i: (0, 0)),           # dp1y
+            pl.BlockSpec((ml, ml), lambda i: (0, 0)),          # dp2s
+        ],
+        out_specs=[
+            pl.BlockSpec((qp, lb), lambda i: (0, i)),          # dmu^T
+            pl.BlockSpec((qp, lb), lambda i: (0, i)),          # ds^T
+            pl.BlockSpec((d, lb), lambda i: (0, i)),           # dyw^T
+            pl.BlockSpec((ml, qp), lambda i: (0, 0)),          # dz (2-D) acc
+            pl.BlockSpec((qp, ml), lambda i: (0, 0)),          # dz (direct)^T
+            pl.BlockSpec((1, qp), lambda i: (0, 0)),           # dalpha acc
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),            # dlogsf2 acc
+            pl.BlockSpec((ml, 1), lambda i: (0, 0)),           # drpad acc
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, npad), dtype),
+            jax.ShapeDtypeStruct((qp, npad), dtype),
+            jax.ShapeDtypeStruct((d, npad), dtype),
+            jax.ShapeDtypeStruct((ml, qp), dtype),
+            jax.ShapeDtypeStruct((qp, ml), dtype),
+            jax.ShapeDtypeStruct((1, qp), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((ml, 1), dtype),
+        ],
+        interpret=interpret,
+    )(mu_p, s_p, yw_p, w_p.reshape(1, -1), z_p, z2_p, alpha_row, logsf2,
+      rz3, rpad, dp1y_p, dp2_p)
+
+    # Close rpad's alpha/z chains, exactly as _call_bwd_flat.
+    drp = drpad[:, :1]                                         # (ml, 1)
+    dalpha_total = (
+        dalpha.reshape(qp)
+        + (-0.25 * _LOG2E) * jnp.sum(drp * z2_p, axis=0)
+    ).astype(alpha.dtype)
+    dz_total = (
+        dz[:m] + dzt.T[:m]
+        + ((-0.5 * _LOG2E) * (drp * z_p * alpha_row))[:m]
+    )
+    dsf2 = (dlogsf2[0, 0] / sf2).astype(jnp.asarray(sf2).dtype)
+    dw = jnp.zeros_like(w_arr)  # weights treated as non-differentiable data
+    return (dmu[:, :n], ds[:, :n], dz_total, dsf2, dalpha_total,
+            dyw[:, :n], dw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def psi_fused_t(mu_t, s_t, z, sf2, alpha, yw_t, w_arr, tile: int = 32,
+                interpret: bool = False):
+    """(Q, N)-native psi_fused: mu_t/s_t are (Q, N), yw_t is (D, N); the
+    cotangents of the N-sized inputs come back in the same transposed layout
+    (no (N, small) array exists anywhere in the forward OR backward).
+    Flat-basis shapes only — callers route via suff_stats_t."""
+    out, _ = _psi_fused_t_fwd(mu_t, s_t, z, sf2, alpha, yw_t, w_arr, tile,
+                              interpret)
+    return out
+
+
+def _psi_fused_t_fwd(mu_t, s_t, z, sf2, alpha, yw_t, w_arr, tile, interpret):
+    out = _call_fwd_flat_t(mu_t, s_t, z, sf2, alpha, yw_t, w_arr, tile,
+                           interpret)
+    return out, (mu_t, s_t, z, sf2, alpha, yw_t, w_arr)
+
+
+def _psi_fused_t_bwd(tile, interpret, res, cots):
+    mu_t, s_t, z, sf2, alpha, yw_t, w_arr = res
+    dp1y, dp2 = cots
+    return _call_bwd_flat_t(
+        mu_t, s_t, z, sf2, alpha, yw_t, w_arr, dp1y, dp2, tile, interpret)
+
+
+psi_fused_t.defvjp(_psi_fused_t_fwd, _psi_fused_t_bwd)
+
+
+def suff_stats_t(
+    y_t, mu_t, s_t, z, sf2, alpha,
+    weights=None, tile: int = 32, interpret: bool = None,
+) -> SufficientStats:
+    """suff_stats in the (Q, N)/(D, N) storage layout (GPLVMConfig
+    layout='qn'): identical statistics, but no N-sized tensor is ever
+    materialized in the lane-padded (N, small) form. Shapes outside the
+    flat-basis window (Ml/128 not in 2..4) fall back to the (N, Q) kernels
+    via an explicit transpose — correct, but paying the padded layout."""
+    if s_t is None:
+        raise ValueError(
+            "SGPR (s=None) statistics are plain MXU matmuls; use psi.suff_stats"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = y_t.shape[1]
+    w = jnp.ones((n,), y_t.dtype) if weights is None else weights
+    n_f = jnp.sum(w)
+    yy = jnp.sum((y_t * y_t) * w[None, :])
+    psi0 = n_f * sf2
+    kl = 0.5 * jnp.sum(
+        jnp.sum(mu_t * mu_t + s_t - jnp.log(s_t) - 1.0, axis=0) * w)
+    if qn_native_ok(z.shape[0], mu_t.shape[0], interpret):
+        p1y, p2 = psi_fused_t(mu_t, s_t, z, sf2, alpha, y_t, w, tile,
+                              interpret)
+    else:
+        p1y, p2 = psi_fused(mu_t.T, s_t.T, z, sf2, alpha, y_t.T, w, tile,
+                            interpret)
+    return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
 
 
 def suff_stats(

@@ -38,15 +38,22 @@ def _spawn(runner_args, cli_args):
     )
 
 
-def _run_single(cli_args, out):
-    p = _spawn(["--devices", "4", "--out", out], cli_args)
-    stdout, _ = p.communicate(timeout=600)
+def _run_single(cli_args, out, timeout=600, devices=4):
+    p = _spawn(["--devices", str(devices), "--out", out], cli_args)
+    try:
+        stdout, _ = p.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        # communicate() raises WITHOUT killing the child — a leaked worker
+        # then monopolizes the 1-core CI host for hours
+        p.kill()
+        p.communicate()
+        raise
     assert p.returncode == 0, f"single-process run failed:\n{stdout[-4000:]}"
     with open(out) as f:
         return json.load(f)
 
 
-def _run_two_process(cli_args, out):
+def _run_two_process(cli_args, out, timeout=600):
     port = _free_port()
     procs = [
         _spawn(
@@ -57,7 +64,16 @@ def _run_two_process(cli_args, out):
         )
         for pid in (0, 1)
     ]
-    outputs = [p.communicate(timeout=600)[0] for p in procs]
+    try:
+        outputs = [p.communicate(timeout=timeout)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        # kill BOTH children — communicate() raises without reaping, and a
+        # leaked worker monopolizes the 1-core CI host for hours
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        raise
     for p, text in zip(procs, outputs):
         assert p.returncode == 0, f"process failed:\n{text[-4000:]}"
     with open(out) as f:
@@ -128,6 +144,89 @@ def test_remote_gplvm_train_save_resume(tmp_path, rng):
     s3 = _run_single(base[:-2] + ["-T", "2", "--load", "-p", "remote"],
                      str(tmp_path / "s3.json"))
     assert s3["final_bound"] >= s2["final_bound"] - 1e-2
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GPARML_TPU_SLOW"),
+    reason="config-5-shape run (~minutes on CPU); set GPARML_TPU_SLOW=1",
+)
+def _make_config5_inputs(tmp_path, n, d=12, seed=5):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, 3)).astype(np.float32)
+    w = rng.standard_normal((3, d)).astype(np.float32)
+    y = x @ w + 0.3 * rng.standard_normal((n, d)).astype(np.float32)
+    inputs = tmp_path / "inputs"
+    data.save_partitioned(str(inputs), y, 8, prefix="Y")
+    return inputs
+
+
+def _assert_monotone_accepted(st_dir):
+    with open(st_dir / "bound_history.jsonl") as f:
+        rows = [json.loads(l) for l in f]
+    bounds = [r["bound"] for r in rows]
+    assert all(np.isfinite(bounds))
+    # SCG only moves on accepted steps -> the bound trace is monotone
+    assert all(b2 >= b1 - 1e-3 for b1, b2 in zip(bounds, bounds[1:]))
+    assert any(r["accepted"] for r in rows)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GPARML_TPU_SLOW"),
+    reason="config-5-shape run (~minutes on CPU); set GPARML_TPU_SLOW=1",
+)
+def test_local_config5_shape(tmp_path):
+    """BASELINE config 5 scaled down by device count, not by shape family:
+    N=2e5, Q=10, M=500, f32, XLA engine, full 8-device data-parallel SCG
+    (the per-device shard shape 25k x M=500 matches a v5p-64 pod chip's
+    N=1e7/64 ≈ 156k rows within 6x). Proves the config-5 shape end to end:
+    sharded ingestion, psum'd M=500 statistics, monotone accepted-step
+    bound, peak RSS consistent with the blocked scan's O(block·M²) working
+    set (measured numbers: docs/DESIGN.md §5)."""
+    inputs = _make_config5_inputs(tmp_path, 200_000)
+    emb, st = tmp_path / "emb", tmp_path / "st"
+    base = ["-i", str(inputs), "-e", str(emb), "-s", str(st),
+            "-q", "10", "-m", "500", "-T", "1", "-p", "local",
+            "--stats-impl", "xla", "--block", "500", "--init", "random"]
+    # ~95 s per bound+grad eval on 8 virtual CPU devices at this shape
+    # (measured) + a multi-minute 1-core M=500 compile; T=1 is ~3 evals.
+    s = _run_single(base, str(tmp_path / "c5.json"), timeout=2400, devices=8)
+    assert s["devices"] == 8 and s["parallel"] == "local"
+    assert np.isfinite(s["final_bound"])
+    _assert_monotone_accepted(st)
+    # The Psi2 blocked-scan working set dominates (block x M x M f32 per
+    # device x 8 devices = 8 GB); the N-side arrays are ~50 MB. A full
+    # unblocked (N, M, M) materialization would want 200 GB; cap far below.
+    assert 0 < s["peak_rss_mb"] < 18000, s["peak_rss_mb"]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GPARML_TPU_SLOW"),
+    reason="config-5-shape run (~minutes on CPU); set GPARML_TPU_SLOW=1",
+)
+def test_remote_config5_m500(tmp_path):
+    """The REAL 2-process (2 hosts x 4 devices) distributed path at the
+    pod-scale M=500: per-host ingestion, cross-process psum of the M²-float
+    statistics, monotone bound, per-host peak RSS ≈ half the problem.
+
+    N is 4e4 here, not 2e5: XLA's gloo rendezvous for a collective context
+    gives the participants a HARDCODED 30 s window from the first arriver's
+    dispatch (`GetKeyValue() timed out`, not configurable from JAX), and on
+    a 1-core CI host the 8 timesliced virtual devices spend ~95 s of
+    single-core compute in the map stage before the first psum at N=2e5 —
+    the arrival skew cannot fit the window. A pure test-rig limit: a real
+    pod chip reaches its first psum milliseconds after dispatch. The full
+    N=2e5 shape runs in test_local_config5_shape (same program, no gloo);
+    this test pins the DCN (multi-process) path at the config-5 M."""
+    inputs = _make_config5_inputs(tmp_path, 40_000)
+    emb, st = tmp_path / "emb", tmp_path / "st"
+    base = ["-i", str(inputs), "-e", str(emb), "-s", str(st),
+            "-q", "10", "-m", "500", "-T", "1", "-p", "remote",
+            "--stats-impl", "xla", "--block", "500", "--init", "random"]
+    s = _run_two_process(base, str(tmp_path / "c5r.json"), timeout=2400)
+    assert s["devices"] == 8 and s["parallel"] == "remote"
+    assert np.isfinite(s["final_bound"])
+    _assert_monotone_accepted(st)
+    assert 0 < s["peak_rss_mb"] < 9000, s["peak_rss_mb"]
 
 
 def test_remote_svgp_train_resume(sgpr_folders):

@@ -1,0 +1,193 @@
+"""(Q, N)-native ("transposed layout") psi statistics and model path.
+
+The single-chip large-N affordance (docs/DESIGN.md §5): XLA:TPU tiles f32
+HBM arrays to (8, 128), so (N, Q<=10) arrays physically cost 12.8x their
+logical bytes; stored and consumed (Q, N)/(D, N) the pad is 1.6x. These
+tests pin the transposed kernels to the row-major ones (values AND grads,
+interpret mode on the forced-CPU backend), the out-of-window fallback, and
+the model-level dispatch (GPLVMConfig layout='qn', y_layout='dn').
+
+Reference scope: GParML has no analogue (flat NumPy is layout-free);
+this is TPU-memory-layout engineering on top of the same math
+(SURVEY.md Appendix A).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gparml_tpu.models import gplvm
+from gparml_tpu.ops import psi_pallas
+
+
+def _data(n, q, d, m, seed=0):
+    rng = np.random.default_rng(seed)
+    mu = jnp.asarray(rng.standard_normal((n, q)), jnp.float32)
+    s = jnp.asarray(rng.uniform(0.2, 1.5, (n, q)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((m, q)), jnp.float32)
+    al = jnp.asarray(rng.uniform(0.5, 2.0, (q,)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, (n,)), jnp.float32)
+    return mu, s, y, z, al, w
+
+
+def _loss(st, m):
+    probe = jnp.cos(jnp.arange(m)[:, None] + jnp.arange(m)[None, :])
+    return (jnp.sum(st.psi1_y ** 2) + jnp.sum(st.psi2 * probe)
+            + st.psi0 + st.yy + st.kl)
+
+
+@pytest.mark.parametrize("m,n,tile", [
+    (140, 203, 16),   # Ml=256 flat window; N not a lane multiple; 8 sub-tiles
+    (300, 150, 64),   # Ml=384 flat window; sub-tile != tile hint
+])
+def test_suff_stats_t_matches_row_major(m, n, tile):
+    q, d = 5, 4
+    mu, s, y, z, al, w = _data(n, q, d, m)
+    sf2 = jnp.float32(1.7)
+
+    def f_nq(args):
+        mu, s, y, z, sf2, al = args
+        st = psi_pallas.suff_stats(y, mu, s, z, sf2, al, weights=w,
+                                   tile=tile, interpret=True)
+        return _loss(st, m)
+
+    def f_qn(args):
+        mu, s, y, z, sf2, al = args
+        st = psi_pallas.suff_stats_t(y.T, mu.T, s.T, z, sf2, al, weights=w,
+                                     tile=tile, interpret=True)
+        return _loss(st, m)
+
+    args = (mu, s, y, z, sf2, al)
+    v1, g1 = jax.value_and_grad(f_nq)(args)
+    v2, g2 = jax.value_and_grad(f_qn)(args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-5 * float(jnp.max(jnp.abs(a))))
+
+
+def test_suff_stats_t_fallback_small_m():
+    """Ml=128 is outside the flat window: suff_stats_t must still be correct
+    (it transposes into the row-major kernels)."""
+    q, d, m, n = 4, 3, 60, 96
+    mu, s, y, z, al, w = _data(n, q, d, m, seed=3)
+    sf2 = jnp.float32(0.9)
+    st_nq = psi_pallas.suff_stats(y, mu, s, z, sf2, al, weights=w,
+                                  tile=16, interpret=True)
+    st_qn = psi_pallas.suff_stats_t(y.T, mu.T, s.T, z, sf2, al, weights=w,
+                                    tile=16, interpret=True)
+    for a, b in zip(st_nq, st_qn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_gplvm_qn_native_bound_and_fit():
+    """Model-level dispatch: layout='qn' + y_layout='dn' must reproduce the
+    row-major bound/gradients from identical parameters and train."""
+    rng = np.random.default_rng(1)
+    n, d, q, m = 150, 6, 4, 130
+    y = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    cfg_nq = gplvm.GPLVMConfig(q=q, num_inducing=m, stats_impl="pallas")
+    p_nq = gplvm.init_params(key, y, cfg_nq)
+    b_nq = gplvm.log_bound(p_nq, y, cfg_nq)
+
+    cfg_qn = gplvm.GPLVMConfig(q=q, num_inducing=m, stats_impl="pallas",
+                               layout="qn", y_layout="dn")
+    p_qn = gplvm.init_params(key, y.T, cfg_qn)
+    b_qn = gplvm.log_bound(p_qn, y.T, cfg_qn)
+    np.testing.assert_allclose(float(b_nq), float(b_qn), rtol=1e-6)
+
+    _, g_nq = gplvm.neg_bound_value_and_grad(p_nq, y, cfg_nq)
+    _, g_qn = gplvm.neg_bound_value_and_grad(p_qn, y.T, cfg_qn)
+    # Interpret-mode dots are bf16-class and the two layouts accumulate in
+    # different orders, so compare at gradient SCALE (both sit ~7e-4 of the
+    # XLA engine; the real-Mosaic parity gate lives in tpu_smoke_runner.py).
+    g1 = np.asarray(g_nq.lat.mu)
+    np.testing.assert_allclose(np.asarray(g_qn.lat.mu), g1.T,
+                               atol=3e-3 * np.max(np.abs(g1)))
+    gz = np.asarray(g_nq.glob.z)
+    np.testing.assert_allclose(np.asarray(g_qn.glob.z), gz,
+                               atol=3e-3 * np.max(np.abs(gz)))
+
+    res = gplvm.fit(p_qn, y.T, cfg_qn, iters=5)
+    assert np.isfinite(float(res.bound))
+    assert float(res.bound) >= float(b_qn) - 1e-3
+
+
+@pytest.mark.parametrize("block", [None, 50])
+def test_psi_suff_stats_t_blocked_scan(block):
+    """The (Q, N)-native blocked XLA scan (psi.suff_stats_t) matches the
+    row-major engine in values AND grads — the correct any-M fallback for
+    qn shapes outside the Pallas flat window."""
+    from gparml_tpu.ops import psi
+
+    q, d, m, n = 4, 3, 25, 200
+    mu, s, y, z, al, w = _data(n, q, d, m, seed=7)
+    sf2 = jnp.float32(1.3)
+
+    def f_nq(args):
+        mu, s, y, z, sf2, al = args
+        st = psi.suff_stats(y, mu, s, z, sf2, al, weights=w, block=block)
+        return _loss(st, m)
+
+    def f_qn(args):
+        mu, s, y, z, sf2, al = args
+        st = psi.suff_stats_t(y.T, mu.T, s.T, z, sf2, al, weights=w,
+                              block=block)
+        return _loss(st, m)
+
+    args = (mu, s, y, z, sf2, al)
+    v1, g1 = jax.value_and_grad(f_nq)(args)
+    v2, g2 = jax.value_and_grad(f_qn)(args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6 * float(jnp.max(jnp.abs(a))))
+
+
+def test_gplvm_qn_large_m_routes_to_transposed_scan():
+    """M beyond the pallas engine limit with layout='qn' must stay correct
+    (and must NOT whole-array-transpose: the dispatch goes through
+    psi.suff_stats_t). Model-level parity against the row-major XLA path."""
+    rng = np.random.default_rng(9)
+    n, d, q, m = 64, 4, 3, 700   # m > _PALLAS_M_LIMIT = 640
+    y = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    key = jax.random.PRNGKey(2)
+    cfg_nq = gplvm.GPLVMConfig(q=q, num_inducing=m, stats_impl="xla")
+    cfg_qn = gplvm.GPLVMConfig(q=q, num_inducing=m, stats_impl="pallas",
+                               layout="qn", y_layout="dn", block=32)
+    p_nq = gplvm.init_params(key, y, cfg_nq)
+    p_qn = gplvm.init_params(key, y.T, cfg_qn)
+    # f32 accumulation order differs (block=32 transposed scan vs one-shot
+    # XLA): observed up to ~1e-6 relative on the bound
+    np.testing.assert_allclose(
+        float(gplvm.log_bound(p_nq, y, cfg_nq)),
+        float(gplvm.log_bound(p_qn, y.T, cfg_qn)), rtol=5e-6)
+    _, g_nq = gplvm.neg_bound_value_and_grad(p_nq, y, cfg_nq)
+    _, g_qn = gplvm.neg_bound_value_and_grad(p_qn, y.T, cfg_qn)
+    # stats agree to ~1e-6 (f32 block-order), but M=700 random-Z solves
+    # amplify that through A^-1 conditioning: compare at gradient scale
+    g1 = np.asarray(g_nq.lat.mu)
+    np.testing.assert_allclose(np.asarray(g_qn.lat.mu), g1.T,
+                               atol=3e-3 * np.max(np.abs(g1)))
+
+
+def test_gplvm_qn_xla_engine_transposes():
+    """stats_impl='xla' with qn storage takes the documented transpose path
+    and still matches."""
+    rng = np.random.default_rng(2)
+    n, d, q, m = 80, 5, 3, 20
+    y = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    key = jax.random.PRNGKey(4)
+    cfg_nq = gplvm.GPLVMConfig(q=q, num_inducing=m, stats_impl="xla")
+    cfg_qn = gplvm.GPLVMConfig(q=q, num_inducing=m, stats_impl="xla",
+                               layout="qn", y_layout="dn")
+    p_nq = gplvm.init_params(key, y, cfg_nq)
+    p_qn = gplvm.init_params(key, y.T, cfg_qn)
+    np.testing.assert_allclose(
+        float(gplvm.log_bound(p_nq, y, cfg_nq)),
+        float(gplvm.log_bound(p_qn, y.T, cfg_qn)), rtol=1e-6)

@@ -59,6 +59,10 @@ def main() -> int:
             st = psi.suff_stats(y, mu, s, z, sf2, alpha)
             return st.psi1_y, st.psi2
 
+        def qn_fn(mu, s, z, sf2, alpha):
+            st = psi_pallas.suff_stats_t(y.T, mu.T, s.T, z, sf2, alpha)
+            return st.psi1_y, st.psi2
+
         vp, gp = obj(pallas_fn)
         vx, gx = obj(xla_fn)
         if not np.isclose(float(vp), float(vx), rtol=2e-4):
@@ -70,12 +74,28 @@ def main() -> int:
             # Both paths are ~1.5e-4 from float64 truth (measured); allow 2x.
             if err > 1e-3:
                 failures.append(f"M={m} grad {name}: rel err {err:.2e}")
+        if m in (200, 512) and psi_pallas.qn_native_ok(m, q, interpret=False):
+            # The (Q, N)-native kernels (single-chip large-N path) must also
+            # survive the real Mosaic compile and match, across the flat
+            # window's sub-tile ladder. M=512 only re-enters when
+            # _FLAT_T_ML_HW_LIMIT is lifted (the ml=512 transposed kernel is
+            # quarantined after a worker crash at N=1e7 — psi_pallas.py).
+            vq, gq = obj(qn_fn)
+            if not np.isclose(float(vq), float(vx), rtol=2e-4):
+                failures.append(f"M={m} qn: value {float(vq)} vs {float(vx)}")
+            for name, a, b in zip("mu s z alpha".split(), gq, gx):
+                a = np.asarray(a, np.float64)
+                b = np.asarray(b, np.float64)
+                err = np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-12)
+                if err > 1e-3:
+                    failures.append(f"M={m} qn grad {name}: rel {err:.2e}")
 
     if failures:
         print("\n".join(failures))
         return 1
     print("tpu smoke: pallas fwd+bwd matches XLA on hardware "
-          "(M=200/512 flat-basis; M=640 lane-chunked; Q=44 staircase)")
+          "(M=200/512 flat-basis; (Q,N)-native inside its hw window; "
+          "M=640 lane-chunked; Q=44 staircase)")
     return 0
 
 

@@ -36,15 +36,16 @@ def main():
     dtype = jnp.float32
 
     rng = np.random.default_rng(0)
-    # generate on host in blocks to keep host RAM flat; ship once
-    y = jnp.asarray(rng.standard_normal((n, d), dtype=np.float32))
+    # EVERYTHING N-sized ships transposed — (D, N)/(Q, N) — so no array ever
+    # pays the (N, small-lane) 12.8x HBM tiling expansion on the chip.
+    y = jnp.asarray(rng.standard_normal((d, n), dtype=np.float32))
     mu_qn = jnp.asarray(rng.standard_normal((q, n), dtype=np.float32))
     us_qn = jnp.full((q, n), float(np.log(0.5)), dtype)
     z = jnp.asarray(rng.standard_normal((m, q), dtype=np.float32))
     glob = P.make_global(z, 1.0, np.ones(q), 10.0)
     glob = jax.tree.map(lambda a: a.astype(dtype), glob)
     params = P.GPLVMParams(glob=glob, lat=P.LatentParams(mu=mu_qn, u_s=us_qn))
-    cfg = gplvm.GPLVMConfig(q=q, num_inducing=m, layout="qn",
+    cfg = gplvm.GPLVMConfig(q=q, num_inducing=m, layout="qn", y_layout="dn",
                             stats_impl="pallas", pallas_tile=64)
 
     @jax.jit
