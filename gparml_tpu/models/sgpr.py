@@ -26,6 +26,10 @@ class SGPRConfig:
     bijector: str = "exp"
     jitter: float = 1e-6
     block: Optional[int] = None      # N-block size for the scanned psi path
+    layout: str = "nq"               # 'qn': x is (Q, N), y is (D, N) — the
+                                     # single-chip large-N affordance (no
+                                     # (N, small) lane-padded array in HBM;
+                                     # docs/DESIGN.md §5); single-device only
     fixed_beta: bool = False         # reference --fixed_beta
     fixed_z: bool = False
     fixed_hypers: bool = False
@@ -61,25 +65,41 @@ def init_params(
     beta: Optional[float] = None,
 ) -> P.GlobalParams:
     """Data-driven defaults: Z = random rows of X, sf2 = var(Y),
-    alpha = 1/var(X_q), beta = 10/var(Y)."""
-    z = init_utils.init_inducing(key, x, config.num_inducing)
+    alpha = 1/var(X_q), beta = 10/var(Y). Under layout='qn' the init's
+    row-major view of X is a one-time transient (truly-huge-N users pass
+    Z / hypers explicitly)."""
+    x_rows = x.T if config.layout == "qn" else x
+    z = init_utils.init_inducing(key, x_rows, config.num_inducing)
     var_y = jnp.maximum(jnp.var(y), 1e-6)
     if sf2 is None:
         sf2 = var_y
     if alpha is None:
-        alpha = 1.0 / jnp.maximum(jnp.var(x, axis=0), 1e-6)
+        alpha = 1.0 / jnp.maximum(jnp.var(x_rows, axis=0), 1e-6)
     if beta is None:
         beta = 10.0 / var_y
     return P.make_global(z, sf2, alpha, beta, bijector=config.bijector)
 
 
-def suff_stats(
-    g: P.GlobalParams, x, y, config: SGPRConfig, mesh=None, weights=None
-) -> psi.SufficientStats:
+def _stats(g, x, y, config: SGPRConfig, mesh=None, weights=None):
     z, sf2, alpha, _ = P.constrain(g, config.bijector)
+    if config.layout == "qn":
+        if mesh is not None:
+            raise ValueError(
+                "layout='qn' is the single-chip large-N affordance; the "
+                "sharded path owns (N, Q) rows — use layout='nq'"
+            )
+        return psi.suff_stats_t(
+            y, x, None, z, sf2, alpha, block=config.block, weights=weights
+        )
     return suff_stats_auto(
         y, x, None, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
     )
+
+
+def suff_stats(
+    g: P.GlobalParams, x, y, config: SGPRConfig, mesh=None, weights=None
+) -> psi.SufficientStats:
+    return _stats(g, x, y, config, mesh=mesh, weights=weights)
 
 
 def log_bound(
@@ -88,11 +108,10 @@ def log_bound(
     """Evidence lower bound F (to maximize). With ``mesh``, (x, y, weights)
     are sharded over the data axis and the statistics psum over ICI."""
     z, sf2, alpha, beta = P.constrain(g, config.bijector)
-    stats = suff_stats_auto(
-        y, x, None, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
-    )
+    stats = _stats(g, x, y, config, mesh=mesh, weights=weights)
+    d = y.shape[0] if config.layout == "qn" else y.shape[1]
     return bound_ops.bound_from_stats(
-        stats, z, sf2, alpha, beta, d=y.shape[1], jitter=config.jitter
+        stats, z, sf2, alpha, beta, d=d, jitter=config.jitter
     )
 
 
@@ -125,10 +144,13 @@ def fit(
     optax rule. The whole optimization is one jit'd computation."""
     if y.ndim != 2 or x.ndim != 2:
         raise ValueError(f"X, Y must be 2-D; got {x.shape}, {y.shape}")
-    if x.shape[0] != y.shape[0]:
-        raise ValueError(f"X has N={x.shape[0]} rows but Y has N={y.shape[0]}")
-    if g0.z.shape[1] != x.shape[1]:
-        raise ValueError(f"Z dim {g0.z.shape[1]} != X dim {x.shape[1]}")
+    n_ax, q_ax = (1, 0) if config.layout == "qn" else (0, 1)
+    if x.shape[n_ax] != y.shape[n_ax]:
+        raise ValueError(
+            f"X has N={x.shape[n_ax]} but Y has N={y.shape[n_ax]} "
+            f"(layout {config.layout!r})")
+    if g0.z.shape[1] != x.shape[q_ax]:
+        raise ValueError(f"Z dim {g0.z.shape[1]} != X dim {x.shape[q_ax]}")
     mask = P.grad_mask(
         g0, fixed_beta=config.fixed_beta, fixed_z=config.fixed_z,
         fixed_hypers=config.fixed_hypers,
@@ -163,7 +185,5 @@ def fit(
 def predict(g: P.GlobalParams, x, y, x_star, config: SGPRConfig, mesh=None, weights=None):
     """Predictive mean and variance (incl. noise) at x_star."""
     z, sf2, alpha, beta = P.constrain(g, config.bijector)
-    stats = suff_stats_auto(
-        y, x, None, z, sf2, alpha, mesh=mesh, block=config.block, weights=weights
-    )
+    stats = _stats(g, x, y, config, mesh=mesh, weights=weights)
     return bound_ops.predict(x_star, stats, z, sf2, alpha, beta, jitter=config.jitter)

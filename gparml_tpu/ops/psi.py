@@ -187,11 +187,48 @@ def suff_stats(
     psi0 = n_f * sf2
 
     if s is None:
-        knm = ard_rbf.k(mu, z, sf2, alpha)
-        p1y = jnp.matmul(knm.T, yw, precision='highest')
-        knm_w = knm if weights is None else knm * jnp.sqrt(weights)[:, None]
-        p2 = jnp.matmul(knm_w.T, knm_w, precision='highest')
         kl = jnp.zeros((), dtype=y.dtype)
+        if block is None or block >= n:
+            knm = ard_rbf.k(mu, z, sf2, alpha)
+            p1y = jnp.matmul(knm.T, yw, precision='highest')
+            knm_w = knm if weights is None else knm * jnp.sqrt(weights)[:, None]
+            p2 = jnp.matmul(knm_w.T, knm_w, precision='highest')
+            return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
+        # Blocked SGPR statistics: K_NM never materializes beyond one
+        # (block, M) slab — O(block·M) memory at any N (the s=0 analogue of
+        # the GPLVM blocked scan below).
+        if n % block != 0:
+            raise ValueError(f"N={n} must be a multiple of block={block}")
+        m = z.shape[0]
+        d = y.shape[1]
+        nb = n // block
+        w = jnp.ones((n,), dtype=y.dtype) if weights is None else weights
+
+        @jax.checkpoint
+        def body(carry, xs):
+            p1y_acc, p2_acc = carry
+            yb, mub, wb = xs
+            knm = ard_rbf.k(mub, z, sf2, alpha)
+            p1y_b = jnp.matmul(knm.T, yb * wb[:, None], precision='highest')
+            knm_w = knm * jnp.sqrt(wb)[:, None]
+            p2_b = jnp.matmul(knm_w.T, knm_w, precision='highest')
+            return (p1y_acc + p1y_b, p2_acc + p2_b), None
+
+        xs = (
+            y.reshape(nb, block, d),
+            mu.reshape(nb, block, mu.shape[1]),
+            w.reshape(nb, block),
+        )
+        init = (
+            jnp.zeros((m, d), dtype=y.dtype),
+            jnp.zeros((m, m), dtype=y.dtype),
+        )
+        if vary_axis is not None:
+            if hasattr(jax.lax, "pcast"):
+                init = jax.lax.pcast(init, vary_axis, to="varying")
+            else:
+                init = jax.lax.pvary(init, vary_axis)
+        (p1y, p2), _ = jax.lax.scan(body, init, xs)
         return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
 
     kl = kl_qp(mu, s, weights)
@@ -259,11 +296,10 @@ def suff_stats_t(
     fallback for the shapes outside the Pallas flat window (Ml < 256 or
     M > the pallas engine limit) at single-chip N where a whole-array
     transpose would not fit HBM.
+
+    ``s_t=None`` is the SGPR (observed inputs, s ≡ 0) mode: mu_t is the
+    transposed X, Psi1 = K_NM / Psi2 = K_NM^T K_NM accumulate per block.
     """
-    if s_t is None:
-        raise ValueError(
-            "SGPR (s=None) statistics are plain MXU matmuls; use suff_stats"
-        )
     q, n = mu_t.shape
     d = y_t.shape[0]
     if weights is None:
@@ -276,15 +312,25 @@ def suff_stats_t(
         yy = jnp.sum((y_t * weights[None, :]) * y_t)
     psi0 = n_f * sf2
 
-    per_n = 0.5 * jnp.sum(mu_t * mu_t + s_t - jnp.log(s_t) - 1.0, axis=0)
-    kl = jnp.sum(per_n if w is None else per_n * w)
+    if s_t is None:
+        kl = jnp.zeros((), dtype=y_t.dtype)
+    else:
+        per_n = 0.5 * jnp.sum(mu_t * mu_t + s_t - jnp.log(s_t) - 1.0, axis=0)
+        kl = jnp.sum(per_n if w is None else per_n * w)
 
     if block is None or block >= n:
-        mu, s = mu_t.T, s_t.T
-        p1 = psi1(mu, s, z, sf2, alpha)
+        mu = mu_t.T
         yw = y_t.T if w is None else (y_t * w[None, :]).T
-        p1y = jnp.matmul(p1.T, yw, precision="highest")
-        p2 = psi2_sum(mu, s, z, sf2, alpha, w)
+        if s_t is None:
+            knm = ard_rbf.k(mu, z, sf2, alpha)
+            p1y = jnp.matmul(knm.T, yw, precision="highest")
+            knm_w = knm if w is None else knm * jnp.sqrt(w)[:, None]
+            p2 = jnp.matmul(knm_w.T, knm_w, precision="highest")
+        else:
+            s = s_t.T
+            p1 = psi1(mu, s, z, sf2, alpha)
+            p1y = jnp.matmul(p1.T, yw, precision="highest")
+            p2 = psi2_sum(mu, s, z, sf2, alpha, w)
         return SufficientStats(psi0, p1y, p2, yy, kl, n_f)
 
     if n % block != 0:
@@ -297,11 +343,20 @@ def suff_stats_t(
     @jax.checkpoint
     def body(carry, xs):
         p1y_acc, p2_acc = carry
-        ybt, mubt, sbt, wb = xs
-        mub, sb = mubt.T, sbt.T
-        p1b = psi1(mub, sb, z, sf2, alpha)
-        p2b = psi2_sum(mub, sb, z, sf2, alpha, wb)
-        p1yb = jnp.matmul(p1b.T, (ybt * wb[None, :]).T, precision="highest")
+        if s_t is None:
+            ybt, mubt, wb = xs
+            knm = ard_rbf.k(mubt.T, z, sf2, alpha)
+            p1yb = jnp.matmul(knm.T, (ybt * wb[None, :]).T,
+                              precision="highest")
+            knm_w = knm * jnp.sqrt(wb)[:, None]
+            p2b = jnp.matmul(knm_w.T, knm_w, precision="highest")
+        else:
+            ybt, mubt, sbt, wb = xs
+            mub, sb = mubt.T, sbt.T
+            p1b = psi1(mub, sb, z, sf2, alpha)
+            p2b = psi2_sum(mub, sb, z, sf2, alpha, wb)
+            p1yb = jnp.matmul(p1b.T, (ybt * wb[None, :]).T,
+                              precision="highest")
         return (p1y_acc + p1yb, p2_acc + p2b), None
 
     # (Q, N) -> (nb, Q, block): one HBM copy of the COMPACT transposed form
@@ -309,9 +364,10 @@ def suff_stats_t(
     xs = (
         jnp.swapaxes(y_t.reshape(d, nb, block), 0, 1),
         jnp.swapaxes(mu_t.reshape(q, nb, block), 0, 1),
-        jnp.swapaxes(s_t.reshape(q, nb, block), 0, 1),
-        w_full.reshape(nb, block),
     )
+    if s_t is not None:
+        xs = xs + (jnp.swapaxes(s_t.reshape(q, nb, block), 0, 1),)
+    xs = xs + (w_full.reshape(nb, block),)
     init = (
         jnp.zeros((m, d), dtype=y_t.dtype),
         jnp.zeros((m, m), dtype=y_t.dtype),

@@ -176,6 +176,79 @@ def test_gplvm_qn_large_m_routes_to_transposed_scan():
                                atol=3e-3 * np.max(np.abs(g1)))
 
 
+@pytest.mark.parametrize("block", [None, 25])
+def test_sgpr_suff_stats_blocked_and_transposed(block):
+    """SGPR (s=None) statistics: the blocked row-major scan and the
+    (Q, N)-native scan both match the one-shot K_NM products (values and
+    grads) — K_NM never materializes beyond one (block, M) slab."""
+    from gparml_tpu.ops import psi
+
+    q, d, m, n = 3, 2, 15, 100
+    mu, _, y, z, al, w = _data(n, q, d, m, seed=11)
+    sf2 = jnp.float32(0.8)
+
+    def f_ref(args):
+        mu, y, z, sf2, al = args
+        st = psi.suff_stats(y, mu, None, z, sf2, al, weights=w)
+        return _loss(st, m)
+
+    def f_blocked(args):
+        mu, y, z, sf2, al = args
+        st = psi.suff_stats(y, mu, None, z, sf2, al, weights=w, block=block)
+        return _loss(st, m)
+
+    def f_qn(args):
+        mu, y, z, sf2, al = args
+        st = psi.suff_stats_t(y.T, mu.T, None, z, sf2, al, weights=w,
+                              block=block)
+        return _loss(st, m)
+
+    args = (mu, y, z, sf2, al)
+    v0, g0 = jax.value_and_grad(f_ref)(args)
+    for f in (f_blocked, f_qn):
+        v, g = jax.value_and_grad(f)(args)
+        np.testing.assert_allclose(float(v), float(v0), rtol=1e-6)
+        for a, b in zip(g, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5,
+                                       atol=1e-6 * float(jnp.max(jnp.abs(b))))
+
+
+def test_sgpr_qn_layout_model_level():
+    """SGPR with layout='qn' (x (Q,N), y (D,N)) reproduces the row-major
+    bound/fit — the regression-mode analogue of the GPLVM qn affordance."""
+    from gparml_tpu.models import sgpr
+
+    rng = np.random.default_rng(13)
+    n, q, d, m = 120, 2, 3, 18
+    x = rng.standard_normal((n, q)).astype(np.float32)
+    w = rng.standard_normal((q, d)).astype(np.float32)
+    y = (x @ w + 0.1 * rng.standard_normal((n, d))).astype(np.float32)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    cfg = sgpr.SGPRConfig(num_inducing=m)
+    cfg_qn = sgpr.SGPRConfig(num_inducing=m, layout="qn", block=30)
+    g0 = sgpr.init_params(jax.random.key(0), xj, yj, cfg)
+    g0_qn = sgpr.init_params(jax.random.key(0), xj.T, yj.T, cfg_qn)
+    np.testing.assert_allclose(np.asarray(g0.z), np.asarray(g0_qn.z),
+                               rtol=1e-6)
+    b_nq = float(sgpr.log_bound(g0, xj, yj, cfg))
+    b_qn = float(sgpr.log_bound(g0_qn, xj.T, yj.T, cfg_qn))
+    # statistics agree to 1e-6 (pinned above); A^-1 solve conditioning
+    # amplifies the f32 block-order noise ~10x at the bound level
+    np.testing.assert_allclose(b_nq, b_qn, rtol=1e-4)
+
+    res = sgpr.fit(g0_qn, xj.T, yj.T, cfg_qn, iters=10)
+    assert np.isfinite(float(res.bound))
+    assert float(res.bound) >= b_qn - 1e-3
+
+    # mesh + qn rejected
+    from gparml_tpu.parallel import mesh as mesh_lib
+    with pytest.raises(ValueError):
+        sgpr.log_bound(g0_qn, xj.T, yj.T, cfg_qn,
+                       mesh=mesh_lib.make_mesh(2))
+
+
 def test_gplvm_qn_xla_engine_transposes():
     """stats_impl='xla' with qn storage takes the documented transpose path
     and still matches."""
