@@ -146,10 +146,6 @@ def test_remote_gplvm_train_save_resume(tmp_path, rng):
     assert s3["final_bound"] >= s2["final_bound"] - 1e-2
 
 
-@pytest.mark.skipif(
-    not os.environ.get("GPARML_TPU_SLOW"),
-    reason="config-5-shape run (~minutes on CPU); set GPARML_TPU_SLOW=1",
-)
 def _make_config5_inputs(tmp_path, n, d=12, seed=5):
     rng = np.random.default_rng(seed)
     x = rng.standard_normal((n, 3)).astype(np.float32)
@@ -176,20 +172,22 @@ def _assert_monotone_accepted(st_dir):
 )
 def test_local_config5_shape(tmp_path):
     """BASELINE config 5 scaled down by device count, not by shape family:
-    N=2e5, Q=10, M=500, f32, XLA engine, full 8-device data-parallel SCG
-    (the per-device shard shape 25k x M=500 matches a v5p-64 pod chip's
-    N=1e7/64 ≈ 156k rows within 6x). Proves the config-5 shape end to end:
-    sharded ingestion, psum'd M=500 statistics, monotone accepted-step
-    bound, peak RSS consistent with the blocked scan's O(block·M²) working
-    set (measured numbers: docs/DESIGN.md §5)."""
-    inputs = _make_config5_inputs(tmp_path, 200_000)
+    N=1e5, Q=10, M=500, f32, XLA engine, full 8-device data-parallel SCG.
+    Proves the config-5 shape end to end: sharded ingestion, psum'd M=500
+    statistics, monotone accepted-step bound, peak RSS consistent with the
+    blocked scan's O(block·M²) working set (measured numbers:
+    docs/DESIGN.md §5). N is CI-budget-bound: one bound+grad eval at this
+    shape is ~0.9e12 f32 flops ≈ 11 min on the 1-core CI host (N=2e5 took
+    >75 min for the one SCG iteration and timed out); the N axis itself is
+    proven on real hardware (N=1e6 and, transposed, N=1e7 on one v5e)."""
+    inputs = _make_config5_inputs(tmp_path, 100_000)
     emb, st = tmp_path / "emb", tmp_path / "st"
     base = ["-i", str(inputs), "-e", str(emb), "-s", str(st),
             "-q", "10", "-m", "500", "-T", "1", "-p", "local",
             "--stats-impl", "xla", "--block", "500", "--init", "random"]
-    # ~95 s per bound+grad eval on 8 virtual CPU devices at this shape
-    # (measured) + a multi-minute 1-core M=500 compile; T=1 is ~3 evals.
-    s = _run_single(base, str(tmp_path / "c5.json"), timeout=2400, devices=8)
+    # ~11 min per bound+grad eval x 3 SCG evals at T=1, plus a
+    # multi-minute M=500 compile on a cold cache.
+    s = _run_single(base, str(tmp_path / "c5.json"), timeout=4500, devices=8)
     assert s["devices"] == 8 and s["parallel"] == "local"
     assert np.isfinite(s["final_bound"])
     _assert_monotone_accepted(st)
