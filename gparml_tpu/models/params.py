@@ -91,9 +91,12 @@ def make_latents(mu, s, bijector: str = "exp",
     array (~4.8 GB at N=1e7, Q=10)."""
     bij = transforms.get(bijector)
     if layout == "qn":
-        import numpy as _np
-        mu = _np.ascontiguousarray(_np.asarray(mu).T)
-        s = _np.ascontiguousarray(_np.asarray(s).T)
+        if isinstance(mu, jax.core.Tracer) or isinstance(s, jax.core.Tracer):
+            mu, s = mu.T, s.T  # traced values must stay on device
+        else:
+            import numpy as _np
+            mu = _np.ascontiguousarray(_np.asarray(mu).T)
+            s = _np.ascontiguousarray(_np.asarray(s).T)
     mu = jnp.asarray(mu)
     u_s = bij.inverse(jnp.asarray(s, dtype=mu.dtype))
     return LatentParams(mu=mu, u_s=u_s)

@@ -249,6 +249,44 @@ def test_sgpr_qn_layout_model_level():
                        mesh=mesh_lib.make_mesh(2))
 
 
+def test_gplvm_qn_predict_and_infer_latents():
+    """The prediction-side API under the transposed layout: predict_observed
+    and infer_latents (+ reconstruct) match the row-major results from the
+    same trained parameters."""
+    rng = np.random.default_rng(21)
+    n, d, q, m = 90, 5, 2, 20
+    y = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    y_new = y[:6] + 0.01
+    key = jax.random.PRNGKey(3)
+
+    cfg = gplvm.GPLVMConfig(q=q, num_inducing=m, stats_impl="xla")
+    cfg_qn = gplvm.GPLVMConfig(q=q, num_inducing=m, stats_impl="xla",
+                               layout="qn", y_layout="dn", block=30)
+    p = gplvm.init_params(key, y, cfg)
+    p_qn = gplvm.init_params(key, y.T, cfg_qn)
+
+    xs = jnp.asarray(rng.standard_normal((4, q)), jnp.float32)
+    m1, v1 = gplvm.predict_observed(p, y, xs, cfg)
+    m2, v2 = gplvm.predict_observed(p_qn, y.T, xs, cfg_qn)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-4)
+
+    # SCG trajectories amplify f32 block-order noise — compare OUTCOMES
+    # (inference bound, reconstruction error), not raw latent coordinates.
+    mu1, s1, inf1 = gplvm.infer_latents(p, y, y_new, cfg, iters=8)
+    mu2, s2, inf2 = gplvm.infer_latents(p_qn, y.T, y_new.T, cfg_qn, iters=8)
+    assert mu2.shape == (6, q) and float(jnp.min(s2)) > 0
+    np.testing.assert_allclose(float(inf1.bound), float(inf2.bound),
+                               rtol=1e-3)
+
+    r1, _ = gplvm.reconstruct(p, y, mu1, s1, cfg)
+    r2, _ = gplvm.reconstruct(p_qn, y.T, mu2, s2, cfg_qn)
+    e1 = float(jnp.sqrt(jnp.mean((r1 - y_new) ** 2)))
+    e2 = float(jnp.sqrt(jnp.mean((r2 - y_new) ** 2)))
+    assert abs(e1 - e2) < 0.15 * max(e1, 1e-3), (e1, e2)
+
+
 def test_gplvm_qn_xla_engine_transposes():
     """stats_impl='xla' with qn storage takes the documented transpose path
     and still matches."""
