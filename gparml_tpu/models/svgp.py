@@ -39,6 +39,12 @@ class SVGPConfig:
     bijector: str = "exp"
     jitter: float = 1e-6
     batch_size: int = 1024
+    layout: str = "nq"               # 'qn': x is (Q, N), y is (D, N) — the
+                                     # single-chip large-N affordance: the
+                                     # RESIDENT dataset never pays the
+                                     # 12.8x (N, small) lane padding
+                                     # (docs/DESIGN.md §5); single-device
+                                     # only (the mesh path owns rows)
     fixed_beta: bool = False
     fixed_z: bool = False
     fixed_hypers: bool = False
@@ -59,6 +65,10 @@ class FitResult(NamedTuple):
 
 def init_params(key, x, y, config: SVGPConfig) -> SVGPParams:
     m = config.num_inducing
+    if config.layout == "qn":
+        # init math is row-major; a one-time transient (huge-N users pass
+        # Z / hypers explicitly)
+        x, y = x.T, y.T
     d = y.shape[1]
     z = init_utils.init_inducing(key, x, m)
     var_y = jnp.maximum(jnp.var(y), 1e-6)
@@ -78,13 +88,15 @@ def _tril(q_sqrt):
     return jnp.tril(q_sqrt)
 
 
-def extend_for_wraparound(a, b: int):
-    """Append the first ``b`` rows so a contiguous window of length ``b``
-    starting anywhere in [0, n) wraps around the end without a gather."""
-    return jnp.concatenate([a, a[:b]], axis=0)
+def extend_for_wraparound(a, b: int, axis: int = 0):
+    """Append the first ``b`` rows (along ``axis``) so a contiguous window
+    of length ``b`` starting anywhere in [0, n) wraps around the end
+    without a gather."""
+    return jnp.concatenate(
+        [a, jax.lax.slice_in_dim(a, 0, b, axis=axis)], axis=axis)
 
 
-def minibatch_window(a_ext, start, b: int):
+def minibatch_window(a_ext, start, b: int, axis: int = 0):
     """Length-``b`` contiguous window of the wraparound-extended array.
 
     With ``start`` drawn uniformly from {0, ..., n-1}, every one of the n
@@ -92,7 +104,7 @@ def minibatch_window(a_ext, start, b: int):
     non-wraparound window (start in {0..n-b}), which includes points near
     the array ends with probability as low as 1/(n-b+1) vs b/(n-b+1) in the
     middle (a 64x disparity at n=200, b=64)."""
-    return jax.lax.dynamic_slice_in_dim(a_ext, start, b)
+    return jax.lax.dynamic_slice_in_dim(a_ext, start, b, axis=axis)
 
 
 def _data_term(p: SVGPParams, x, y, weights, config: SVGPConfig):
@@ -224,12 +236,22 @@ def fit(
     estimator; the per-step data term and its gradients reduce with one psum.
     batch_size is the GLOBAL batch (split evenly across devices)."""
     if mesh is not None:
+        if config.layout == "qn":
+            raise ValueError(
+                "layout='qn' is the single-chip large-N affordance; the "
+                "sharded path owns (N, Q) rows — use layout='nq'"
+            )
         return _fit_sharded(
             p0, x, y, config, steps, learning_rate, key, mesh, weights
         )
     import optax
 
-    n = x.shape[0]
+    # Under layout='qn' the resident dataset is (Q, N)/(D, N): the axis-1
+    # window is still one dynamic_slice (along lanes), and only the
+    # batch-sized window is transposed into row-major form per step —
+    # O(B x 128) transient padded bytes instead of O(N x 128) resident.
+    n_ax = 1 if config.layout == "qn" else 0
+    n = x.shape[n_ax]
     b = min(config.batch_size, n)
     key = jax.random.key(0) if key is None else key
     opt = optax.adam(learning_rate)
@@ -245,16 +267,20 @@ def fit(
     # the array ends — see minibatch_window).
     key, kshuf = jax.random.split(key)
     perm = jax.random.permutation(kshuf, n)
-    x = x[perm]
-    y = y[perm]
-    x_ext = extend_for_wraparound(x, b)
-    y_ext = extend_for_wraparound(y, b)
+    x = jnp.take(x, perm, axis=n_ax)
+    y = jnp.take(y, perm, axis=n_ax)
+    x_ext = extend_for_wraparound(x, b, axis=n_ax)
+    y_ext = extend_for_wraparound(y, b, axis=n_ax)
+
+    def window(a_ext, start):
+        wb = minibatch_window(a_ext, start, b, axis=n_ax)
+        return wb.T if n_ax == 1 else wb
 
     def step(carry, k):
         p, opt_state = carry
         start = jax.random.randint(k, (), 0, n)
-        xb = minibatch_window(x_ext, start, b)
-        yb = minibatch_window(y_ext, start, b)
+        xb = window(x_ext, start)
+        yb = window(y_ext, start)
         val, g = jax.value_and_grad(lambda pp: -elbo(pp, xb, yb, n, config))(p)
         g = p._replace(glob=P.apply_mask(g.glob, mask), q_mu=g.q_mu, q_sqrt=g.q_sqrt)
         updates, opt_state = opt.update(g, opt_state, p)
@@ -265,10 +291,16 @@ def fit(
     (p, _), history = jax.lax.scan(step, (p0, opt.init(p0)), keys)
     # final ELBO report: full data if small, else an unbiased random subset
     if n <= 65536:
-        final = elbo(p, x, y, n, config)
+        xf = x.T if n_ax == 1 else x
+        yf = y.T if n_ax == 1 else y
+        final = elbo(p, xf, yf, n, config)
     else:
         idx = jax.random.permutation(jax.random.key(1), n)[: 4 * b]
-        final = elbo(p, x[idx], y[idx], n, config)
+        xf = jnp.take(x, idx, axis=n_ax)
+        yf = jnp.take(y, idx, axis=n_ax)
+        if n_ax == 1:
+            xf, yf = xf.T, yf.T
+        final = elbo(p, xf, yf, n, config)
     return FitResult(params=p, elbo=final, history=history,
                      n_evals=jnp.asarray(steps, jnp.int32))
 

@@ -287,6 +287,41 @@ def test_gplvm_qn_predict_and_infer_latents():
     assert abs(e1 - e2) < 0.15 * max(e1, 1e-3), (e1, e2)
 
 
+def test_svgp_qn_layout_matches_nq():
+    """SVGP with layout='qn' draws IDENTICAL minibatches (same key, same
+    permutation, windows transposed from the lane axis), so the training
+    trajectory matches the row-major run to f32 noise."""
+    from gparml_tpu.models import svgp
+
+    rng = np.random.default_rng(17)
+    n, q, d, m = 300, 2, 3, 12
+    x = rng.standard_normal((n, q)).astype(np.float32)
+    w = rng.standard_normal((q, d)).astype(np.float32)
+    y = (x @ w + 0.1 * rng.standard_normal((n, d))).astype(np.float32)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+
+    cfg = svgp.SVGPConfig(num_inducing=m, batch_size=64)
+    cfg_qn = svgp.SVGPConfig(num_inducing=m, batch_size=64, layout="qn")
+    key = jax.random.key(5)
+    p0 = svgp.init_params(key, xj, yj, cfg)
+    p0_qn = svgp.init_params(key, xj.T, yj.T, cfg_qn)
+    np.testing.assert_allclose(np.asarray(p0.glob.z),
+                               np.asarray(p0_qn.glob.z), rtol=1e-6)
+
+    r1 = svgp.fit(p0, xj, yj, cfg, steps=25, key=jax.random.key(9))
+    r2 = svgp.fit(p0_qn, xj.T, yj.T, cfg_qn, steps=25, key=jax.random.key(9))
+    h1, h2 = np.asarray(r1.history), np.asarray(r2.history)
+    np.testing.assert_allclose(h2, h1, rtol=1e-4,
+                               atol=1e-5 * np.max(np.abs(h1)))
+    np.testing.assert_allclose(float(r2.elbo), float(r1.elbo), rtol=1e-4)
+
+    # mesh + qn rejected
+    from gparml_tpu.parallel import mesh as mesh_lib
+    with pytest.raises(ValueError):
+        svgp.fit(p0_qn, xj.T, yj.T, cfg_qn, steps=1,
+                 mesh=mesh_lib.make_mesh(2))
+
+
 def test_gplvm_qn_xla_engine_transposes():
     """stats_impl='xla' with qn storage takes the documented transpose path
     and still matches."""
