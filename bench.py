@@ -135,6 +135,22 @@ def main():
               file=sys.stderr)
         m500 = {"m500_n1e5_sec": None}
 
+    # Transposed-layout datapoint (single device only): the adopted
+    # single-chip large-N path — (Q, N)-native kernels at the north-star
+    # shape (docs/DESIGN.md §5). Guarded: a failure reports null rather
+    # than killing the bench.
+    qn = {}
+    if mesh is None:
+        try:
+            qn_dt = measure_shape(jax, jnp, n=n, m=m, q=q, d=d,
+                                  dtype=dtype, layout="qn")
+            qn = {"qn_n1e6_sec": round(qn_dt, 4)}
+        except Exception as e:
+            import sys
+            print(f"qn measurement failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            qn = {"qn_n1e6_sec": None}
+
     detail = ", ".join(f"{k}={v:.3f}s" for k, v in sorted(results.items()))
     print(
         json.dumps(
@@ -148,28 +164,44 @@ def main():
                 "vs_baseline": round(evals_per_sec / 1.0, 4),
                 "psi_gflops": round(gflops, 1),
                 **m500,
+                **qn,
             }
         )
     )
 
 
-def measure_shape(jax, jnp, n, m, q, d, dtype):
+def measure_shape(jax, jnp, n, m, q, d, dtype, layout="nq"):
     """One fused bound+grad eval time at an arbitrary shape (pallas engine,
-    single device)."""
+    single device). layout='qn' stores/consumes everything transposed —
+    the single-chip large-N path."""
     import numpy as np
     from gparml_tpu.models import gplvm
     from gparml_tpu.models import params as P
 
     rng = np.random.default_rng(1)
-    y = jnp.asarray(rng.standard_normal((n, d)), dtype=dtype)
-    mu = jnp.asarray(rng.standard_normal((n, q)), dtype=dtype)
-    s = jnp.full((n, q), 0.5, dtype=dtype)
+    if layout == "qn":
+        y = jnp.asarray(rng.standard_normal((d, n)), dtype=dtype)
+        mu = jnp.asarray(rng.standard_normal((q, n)), dtype=dtype)
+        s = jnp.full((q, n), 0.5, dtype=dtype)
+    else:
+        y = jnp.asarray(rng.standard_normal((n, d)), dtype=dtype)
+        mu = jnp.asarray(rng.standard_normal((n, q)), dtype=dtype)
+        s = jnp.full((n, q), 0.5, dtype=dtype)
     z = jnp.asarray(rng.standard_normal((m, q)), dtype=dtype)
     glob = P.make_global(z, 1.0, np.ones(q), 10.0)
     glob = jax.tree.map(lambda a: a.astype(dtype), glob)
-    params = P.GPLVMParams(glob=glob, lat=P.make_latents(mu, s))
+    if layout == "qn":
+        from gparml_tpu.models.params import LatentParams
+        from gparml_tpu.utils import transforms
+        bij = transforms.get("exp")
+        lat = LatentParams(mu=mu, u_s=bij.inverse(s))
+    else:
+        lat = P.make_latents(mu, s)
+    params = P.GPLVMParams(glob=glob, lat=lat)
     cfg = gplvm.GPLVMConfig(q=q, num_inducing=m, block=4000,
-                            stats_impl="pallas", pallas_tile=64)
+                            stats_impl="pallas", pallas_tile=64,
+                            layout=layout,
+                            y_layout="dn" if layout == "qn" else "nd")
 
     @jax.jit
     def eval_once(p, y):
