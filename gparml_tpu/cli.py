@@ -60,9 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning-rate", type=float, default=1e-2)
     p.add_argument("--stats-impl", choices=["auto", "xla", "pallas"], default="auto")
     p.add_argument("--layout", choices=["nq", "qn"], default="nq",
-                   help="latent storage layout: qn stores (Q, N) transposed "
-                        "(8x less latent HBM on one chip for ~1%% eval cost; "
-                        "single-device GPLVM only)")
+                   help="storage layout of N-sized arrays: qn stores "
+                        "everything transposed — (Q, N) latents/inputs, "
+                        "(D, N) observations — avoiding the 12.8x TPU lane "
+                        "padding of (N, small) arrays (single-chip N=1e7; "
+                        "single-device only, all modes: GPLVM, SGPR, SVGP)")
     p.add_argument("--block", type=int, default=None,
                    help="N-block size for the scanned psi path (memory bound)")
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
@@ -204,14 +206,27 @@ def run(options) -> dict:
                     "--fixed-embeddings needs observed inputs in the "
                     "embeddings folder"
                 )
-        x = jnp.asarray(x_np, dtype)
-        y = jnp.asarray(y_np, dtype)
+        sg_layout = getattr(options, "layout", "nq")
+        if sg_layout == "qn":
+            if remote:
+                raise ValueError(
+                    "--layout qn is the single-chip large-N mode; -p remote "
+                    "shards (N, Q) rows"
+                )
+            mesh = None  # single-device affordance: skip the local mesh
+            # host-side transposes: (Q, N)/(D, N) upload in compact form
+            x = jnp.asarray(np.ascontiguousarray(x_np.T), dtype)
+            y = jnp.asarray(np.ascontiguousarray(y_np.T), dtype)
+        else:
+            x = jnp.asarray(x_np, dtype)
+            y = jnp.asarray(y_np, dtype)
         if options.optimizer == "svgp":
             from gparml_tpu.models import svgp as svgp_mod
 
             vcfg = svgp_mod.SVGPConfig(
                 num_inducing=options.m, bijector=options.bijector,
                 batch_size=options.batch_size, fixed_beta=options.fixed_beta,
+                layout=sg_layout,
             )
             # init from this host's rows (remote: a local block — globals are
             # then agreed via broadcast, exactly like the collapsed modes)
@@ -267,6 +282,7 @@ def run(options) -> dict:
         scfg = sgpr.SGPRConfig(
             num_inducing=options.m, bijector=options.bijector,
             block=options.block, fixed_beta=options.fixed_beta,
+            layout=sg_layout,
         )
         g0 = sgpr.init_params(key, x, y, scfg)
         if options.load and options.statistics:

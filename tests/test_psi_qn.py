@@ -322,6 +322,44 @@ def test_svgp_qn_layout_matches_nq():
                  mesh=mesh_lib.make_mesh(2))
 
 
+def test_cli_qn_sgpr_and_svgp(tmp_path):
+    """--layout qn now applies to the --fixed-embeddings modes too: the CLI
+    transposes X/Y host-side and routes through SGPRConfig/SVGPConfig
+    layout='qn'. Same folders, same bound scale as the row-major run."""
+    from gparml_tpu import cli, data
+
+    rng = np.random.default_rng(23)
+    n = 120
+    x = np.sort(rng.uniform(-2, 2, (n, 1)), axis=0).astype(np.float64)
+    y = (np.sin(2 * x) + 0.1 * rng.standard_normal((n, 1))).astype(np.float64)
+    inputs, emb = tmp_path / "inputs", tmp_path / "emb"
+    data.save_partitioned(str(inputs), y, 3, prefix="Y")
+    data.save_embeddings(str(emb), x, np.full_like(x, 1e-6), n_partitions=3)
+    base = ["-i", str(inputs), "-e", str(emb),
+            "-q", "1", "-m", "12", "--fixed-embeddings", "-T", "8"]
+
+    # T=0: one bound evaluation at the (identical, FPS-deterministic) init
+    # — exact parity check; training trajectories would diverge (the nq run
+    # uses the 8-device mesh, qn is single-device: different sum orders
+    # flip SCG accept decisions within a few iterations).
+    b_nq = cli.main(base + ["-s", str(tmp_path / "st1"), "-T", "0",
+                            "--dtype", "float64"])
+    b_qn = cli.main(base + ["-s", str(tmp_path / "st2"), "-T", "0",
+                            "--layout", "qn", "--dtype", "float64"])
+    np.testing.assert_allclose(b_qn["final_bound"], b_nq["final_bound"],
+                               rtol=1e-9)
+
+    s_qn = cli.main(base + ["-s", str(tmp_path / "st4"), "--layout", "qn"])
+    assert s_qn["mode"] == "sgpr"
+    assert np.isfinite(s_qn["final_bound"])
+    assert s_qn["final_bound"] >= b_qn["final_bound"]
+
+    s_v = cli.main(base + ["-s", str(tmp_path / "st3"), "--layout", "qn",
+                           "--optimizer", "svgp", "-T", "30",
+                           "--batch-size", "48"])
+    assert s_v["mode"] == "svgp" and np.isfinite(s_v["final_elbo"])
+
+
 def test_gplvm_qn_xla_engine_transposes():
     """stats_impl='xla' with qn storage takes the documented transpose path
     and still matches."""
