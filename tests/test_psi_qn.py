@@ -242,6 +242,13 @@ def test_sgpr_qn_layout_model_level():
     assert np.isfinite(float(res.bound))
     assert float(res.bound) >= b_qn - 1e-3
 
+    xs = jnp.asarray(rng.standard_normal((7, q)), jnp.float32)
+    m1, v1 = sgpr.predict(g0, xj, yj, xs, cfg)
+    m2, v2 = sgpr.predict(g0_qn, xj.T, yj.T, xs, cfg_qn)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-4)
+
     # mesh + qn rejected
     from gparml_tpu.parallel import mesh as mesh_lib
     with pytest.raises(ValueError):
