@@ -115,6 +115,25 @@ def test_blocked_scan_inside_shard_map(rng):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-10)
 
 
+def test_sgpr_blocked_scan_inside_shard_map(rng):
+    """The SGPR (s=None) blocked K_NM scan composed with shard_map matches
+    the dense path — the new blocked branch must honor vary_axis for the
+    scan carry inside the manual-axes region."""
+    y, mu, s, z, sf2, alpha, beta = make_problem(rng, n=64, d=3, q=2, m=5)
+    ref = psi.suff_stats(
+        jnp.asarray(y), jnp.asarray(mu), None, jnp.asarray(z), sf2,
+        jnp.asarray(alpha)
+    )
+    m8 = mesh_lib.make_mesh(8)
+    ys, mus, _, w = mesh_lib.shard_data(m8, y, mu, s)
+    st = pstats.suff_stats_sharded(
+        ys, mus, None, jnp.asarray(z), sf2, jnp.asarray(alpha),
+        mesh=m8, weights=w, block=4,
+    )
+    for a, b in zip(ref, st):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-10)
+
+
 def test_sgpr_predict_under_mesh(rng):
     """predict with sharded training data matches the single-device result."""
     from gparml_tpu.models import sgpr
