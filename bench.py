@@ -19,22 +19,41 @@ import time
 import numpy as np
 
 
+def _no_hardware_record(note: str):
+    """No TPU: emit the one-line JSON contract with a null value and exit 0.
+    (Round-3 postmortem: benching the N=1e6 shape on a CPU host is a
+    near-hang, and aborting with rc 1 destroys the round's artifact. A
+    clean null record is the honest output when the chip is down.)"""
+    print(json.dumps({
+        "metric": "GPLVM bound+grad evals/sec (N=1e6, Q=10, M=200, D=12)",
+        "value": None,
+        "unit": "evals/sec",
+        "vs_baseline": None,
+        "note": note,
+    }))
+    raise SystemExit(0)
+
+
 def _smoke_gate():
     """Default-on hardware kernel gate (VERDICT r2 item 3): run the real-
     Mosaic-compile parity check before benchmarking, so a Mosaic regression
-    can never reach BENCH_r* unnoticed. rc 3 = no TPU (clean skip, e.g. CPU
-    CI); rc 1 = parity failure -> the bench aborts loudly."""
+    can never reach BENCH_r* unnoticed. rc 3 = no TPU (clean skip with a
+    null JSON record); rc 1 = parity failure -> the bench aborts loudly."""
     import subprocess
     import sys
 
     runner = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "tests", "tpu_smoke_runner.py")
-    proc = subprocess.run([sys.executable, runner], capture_output=True,
-                          text=True, timeout=1800)
+    try:
+        proc = subprocess.run([sys.executable, runner], capture_output=True,
+                              text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        # Backend init hanging for 30 min is hardware-unavailable, not a
+        # kernel parity failure.
+        _no_hardware_record("TPU smoke timed out (backend init hang)")
     out = (proc.stdout or "").strip()
     if proc.returncode == 3:
-        print("tpu smoke: skipped (no TPU backend)")
-        return
+        _no_hardware_record("no TPU backend (smoke rc 3)")
     if proc.returncode != 0:
         print(out, file=sys.stderr)
         print((proc.stderr or "")[-2000:], file=sys.stderr)

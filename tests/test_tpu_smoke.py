@@ -16,6 +16,55 @@ import pytest
 _RUNNER = os.path.join(os.path.dirname(__file__), "tpu_smoke_runner.py")
 
 
+_REPO = os.path.dirname(os.path.dirname(_RUNNER))
+
+
+def test_smoke_runner_uninitializable_backend_is_rc3():
+    """Round-3 postmortem regression: a backend whose plugin RAISES at init
+    (e.g. the TPU tunnel is down) must be 'no hardware' (rc 3), never
+    'parity failed' (rc 1). GPARML_SMOKE_FORCE_PLATFORMS=cuda makes
+    jax.default_backend() raise RuntimeError on this host."""
+    env = dict(os.environ, GPARML_SMOKE_FORCE_PLATFORMS="cuda")
+    proc = subprocess.run(
+        [sys.executable, _RUNNER], capture_output=True, text=True,
+        timeout=300, env=env, cwd=_REPO,
+    )
+    assert proc.returncode == 3, (
+        f"rc={proc.returncode}\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr[-2000:]}"
+    )
+    assert "no usable backend" in proc.stderr
+
+
+def test_smoke_runner_cpu_backend_is_rc3():
+    env = dict(os.environ, GPARML_SMOKE_FORCE_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, _RUNNER], capture_output=True, text=True,
+        timeout=300, env=env, cwd=_REPO,
+    )
+    assert proc.returncode == 3, proc.stderr[-2000:]
+
+
+def test_bench_no_tpu_emits_null_record_and_exits_zero():
+    """bench.py on a no-TPU host must emit the one-line JSON contract with
+    value=null and exit 0 — not abort (rc 1 destroyed BENCH_r03) and not
+    attempt the N=1e6 run on CPU (a near-hang)."""
+    import json
+
+    env = dict(os.environ, GPARML_SMOKE_FORCE_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=_REPO,
+    )
+    assert proc.returncode == 0, (
+        f"rc={proc.returncode}\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr[-2000:]}"
+    )
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rec["value"] is None
+    assert "no TPU" in rec["note"]
+
+
 @pytest.mark.tpu
 @pytest.mark.skipif(
     os.environ.get("GPARML_TPU_TESTS") != "1",

@@ -19,7 +19,24 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    if jax.default_backend() != "tpu":
+    # Test hook: this environment pins jax_platforms='axon,cpu' at site
+    # level (overriding the JAX_PLATFORMS env var), so the only way a test
+    # can simulate an uninitializable backend is a config update, which
+    # wins over the site pin.
+    forced = os.environ.get("GPARML_SMOKE_FORCE_PLATFORMS")
+    if forced:
+        jax.config.update("jax_platforms", forced)
+
+    try:
+        backend = jax.default_backend()
+    except Exception as e:  # noqa: BLE001
+        # An uninitializable pinned TPU plugin raises RuntimeError here
+        # (e.g. "Unable to initialize backend 'axon': UNAVAILABLE ...").
+        # That is "no hardware", not "kernel parity failed" — rc 3, not 1.
+        # (Round 3 lost its BENCH artifact to exactly this confusion.)
+        print(f"no usable backend: {type(e).__name__}: {e}", file=sys.stderr)
+        return 3
+    if backend != "tpu":
         return 3
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 
