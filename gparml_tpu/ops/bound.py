@@ -40,16 +40,25 @@ def _chol_psi2(psi2: jnp.ndarray) -> jnp.ndarray:
     left cond ~ 3.5e8 and NaN'd every f32 bound at M >= 200. First try
     30*eps*tr (relative distortion ~4e-6); if that Cholesky still fails,
     fall back to 3000*eps*tr (~4e-4 — well inside the f32 parity tolerance,
-    and the clamps in bound_from_stats bound the damage)."""
+    and the clamps in bound_from_stats bound the damage).
+
+    The first-rung PROBE runs on stop_gradient(psi2): a Cholesky whose
+    primal is NaN poisons its VJP even under a zero cotangent, so selecting
+    between two cholesky() results with jnp.where keeps the failed rung's
+    NaN in the autodiff graph — forward finite, gradients all-NaN, exactly
+    in the ill-conditioned regime the ladder exists for (ADVICE r3). Only
+    the jitter SCALAR is selected; a single differentiable Cholesky runs."""
     m = psi2.shape[0]
     dtype = psi2.dtype
     eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     tr = jnp.trace(psi2)
     eye = jnp.eye(m, dtype=dtype)
-    lp1 = jnp.linalg.cholesky(psi2 + (30.0 * eps * tr) * eye)
-    ok = jnp.all(jnp.isfinite(lp1))
-    lp2 = jnp.linalg.cholesky(psi2 + (3000.0 * eps * tr) * eye)
-    return jnp.where(ok, lp1, lp2)
+    probe = jnp.linalg.cholesky(
+        jax.lax.stop_gradient(psi2) + (30.0 * eps * jax.lax.stop_gradient(tr)) * eye
+    )
+    ok = jnp.all(jnp.isfinite(probe))
+    jit_scale = jnp.where(ok, dtype.type(30.0), dtype.type(3000.0))
+    return jnp.linalg.cholesky(psi2 + (jit_scale * eps * tr) * eye)
 
 
 def bound_from_stats(

@@ -198,3 +198,36 @@ def test_f32_bound_finite_at_large_m(rng):
         )
         assert np.isfinite(float(f)), m
         assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(g)), m
+
+
+def test_f32_chol_psi2_fallback_has_finite_gradients(rng):
+    """Regression (ADVICE r3): when the first jitter rung's Cholesky NaNs,
+    the old two-cholesky + jnp.where select kept the NaN primal in the
+    autodiff graph — forward finite, gradients all-NaN (a NaN-primal
+    Cholesky VJP poisons the cotangent even when where() discards it).
+    The probe must be nondifferentiable and only the jitter scalar selected.
+
+    Constructs a float32 psi2 whose most negative eigenvalue exceeds the
+    first rung (30*eps*tr) but not the fallback (3000*eps*tr)."""
+    m = 24
+    a = rng.standard_normal((m, m))
+    base = (a @ a.T).astype(np.float32)
+    w, v = np.linalg.eigh(base.astype(np.float64))
+    tr = float(np.sum(w))
+    eps = float(np.finfo(np.float32).eps)
+    # min eig ~ -100*eps*tr: past rung 1 (30), well inside rung 2 (3000)
+    w[0] = -100.0 * eps * tr
+    psi2_np = (v @ np.diag(w) @ v.T).astype(np.float32)
+
+    # rung-1 probe really does NaN on this input
+    probe = jnp.linalg.cholesky(
+        jnp.asarray(psi2_np) + np.float32(30.0 * eps * tr) * jnp.eye(m, dtype=jnp.float32)
+    )
+    assert not bool(jnp.all(jnp.isfinite(probe))), "test fixture too easy"
+
+    def f(p2):
+        return jnp.sum(bound._chol_psi2(p2)) * 1e-3
+
+    val, g = jax.value_and_grad(f)(jnp.asarray(psi2_np))
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g))), "fallback gradients are NaN"
