@@ -392,10 +392,21 @@ def run(options) -> dict:
         k1, _ = jax.random.split(key)
         from gparml_tpu.utils import init as init_utils
 
-        lat = P.make_latents(jnp.asarray(mu_np, dtype), jnp.asarray(s_np, dtype),
+        # Raw NUMPY in, never jnp.asarray here: make_latents' host branch
+        # transposes on host so only the compact (Q, N) form uploads; a
+        # device-side (N, Q<=10) array pays the 12.8x lane padding (~4.8 GB
+        # per array at the qn mode's N=1e7 target) — the exact transfer the
+        # layout exists to avoid (ADVICE r3).
+        np_dtype = np.dtype(options.dtype)
+        lat = P.make_latents(mu_np.astype(np_dtype, copy=False),
+                             s_np.astype(np_dtype, copy=False),
                              bijector=options.bijector, layout=layout)
-        # natural (N, Q) rows regardless of the storage layout
-        z = init_utils.init_inducing(k1, jnp.asarray(mu_np, dtype), options.m)
+        # Inducing selection likewise stays compact: uniform host-side
+        # candidate subset (numpy indexing), then FPS on device over (C, Q).
+        cand_np = init_utils.host_candidate_rows(
+            mu_np, options.m, seed=options.seed
+        )
+        z = init_utils.init_inducing(k1, jnp.asarray(cand_np, dtype), options.m)
         glob = P.make_global(z, 1.0, np.ones(options.q),
                              10.0 / max(float(np.var(y_np)), 1e-6),
                              bijector=options.bijector)

@@ -28,6 +28,28 @@ def pca(y: jnp.ndarray, q: int) -> jnp.ndarray:
     return x / jnp.sqrt(jnp.maximum(top_vals, 1e-12))
 
 
+def host_candidate_rows(x_np, m: int, seed: int = 0, factor: int = 16,
+                        floor: int = 4096):
+    """Host-side (numpy) candidate subset for :func:`init_inducing`.
+
+    Uniformly samples at most ``max(factor*m, floor)`` rows with plain numpy
+    indexing so only the compact (C, Q) candidate block is ever uploaded.
+    Uploading all N rows first would pay XLA:TPU's (8, 128) lane padding on
+    the (N, Q<=10) array — ~12.8x its logical size, ~4.8 GB at the qn
+    layout's N=1e7 resume target (docs/DESIGN.md §5) — exactly the transfer
+    the transposed layout exists to avoid. FPS over a uniform candidate set
+    this much larger than M still yields well-separated inducing points.
+    """
+    import numpy as np
+
+    n = x_np.shape[0]
+    c = min(n, max(factor * m, floor))
+    if c >= n:
+        return np.ascontiguousarray(x_np)
+    idx = np.sort(np.random.default_rng(seed).choice(n, size=c, replace=False))
+    return np.ascontiguousarray(x_np[idx])
+
+
 def init_latents(key, y: jnp.ndarray, q: int, method: str = "pca", s0: float = 0.5):
     """Initial (mu, s) for the GPLVM: PCA or random projections, s = s0.
 

@@ -137,6 +137,55 @@ def test_cli_resume_uneven_n(tmp_path, rng):
     assert np.isfinite(s2["final_bound"])
 
 
+def test_cli_qn_resume_stays_host_side(tmp_path, rng, monkeypatch):
+    """--layout qn --load: the resume path must hand make_latents RAW numpy
+    (its host branch transposes so only the compact (Q, N) form uploads) and
+    select inducing candidates by host-side numpy indexing. Wrapping
+    jnp.asarray in cli would re-introduce the 12.8x lane-padded (N, Q)
+    upload the layout exists to avoid (ADVICE r3)."""
+    from gparml_tpu import cli
+    from gparml_tpu.models import params as P
+
+    y, _ = data.synthetic_gplvm(n=40, d=4, q_true=1, seed=5)
+    inputs = tmp_path / "inputs"
+    argv = [
+        "-i", str(inputs), "-e", str(tmp_path / "emb"), "-s", str(tmp_path / "st"),
+        "-T", "8", "-q", "2", "-m", "5", "--layout", "qn",
+    ]
+    data.save_partitioned(str(inputs), y, 2, prefix="Y")
+    s1 = cli.main(argv)
+
+    seen = {}
+    orig = P.make_latents
+
+    def spy(mu, s, **kw):
+        seen["mu_is_numpy"] = not isinstance(mu, jnp.ndarray)
+        seen["s_is_numpy"] = not isinstance(s, jnp.ndarray)
+        return orig(mu, s, **kw)
+
+    # cli does `from gparml_tpu.models import params as P` inside main(), so
+    # patching the module attribute intercepts its call
+    monkeypatch.setattr(P, "make_latents", spy)
+    s2 = cli.main(argv + ["--load"])
+    assert np.isfinite(s2["final_bound"])
+    assert s2["final_bound"] >= s1["final_bound"] - 1e-3
+    assert seen.get("mu_is_numpy") and seen.get("s_is_numpy")
+
+
+def test_host_candidate_rows_compact_and_deterministic(rng):
+    from gparml_tpu.utils.init import host_candidate_rows
+
+    x = rng.standard_normal((20000, 3))
+    c1 = host_candidate_rows(x, m=8, seed=7)
+    c2 = host_candidate_rows(x, m=8, seed=7)
+    assert isinstance(c1, np.ndarray) and c1.shape == (4096, 3)
+    np.testing.assert_array_equal(c1, c2)
+    # rows are genuine rows of x (an index subset, no averaging/mixing)
+    assert np.isin(c1[:, 0], x[:, 0]).all()
+    small = host_candidate_rows(x[:100], m=8, seed=7)
+    assert small.shape == (100, 3)
+
+
 def test_cli_sgpr_resume(tmp_path, rng):
     """--fixed-embeddings + --load must restore globals from checkpoint.npz
     (round-1 gap: --load was silently ignored outside the GPLVM branch)."""
