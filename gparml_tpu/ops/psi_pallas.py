@@ -997,27 +997,32 @@ def _flat_subtile(budget_tile: int) -> int:
     return 8
 
 
-def _use_flat(ml: int, q: int) -> bool:
+# Shared HARDWARE window for the whole flat-basis kernel family — row-major
+# (_use_flat) and (Q, N)-native (qn_native_ok) dispatch alike. ml=256
+# (M<=200) is proven on a real v5e up to N=1e7; ml=512 COMPILED but crashed
+# the TPU worker at N=1e7/M=500 (unreproduced — the chip went down before
+# the bisect landed). Until tools/qn_ml512_bisect.py proves ml in {384, 512}
+# on hardware, BOTH dispatches keep those shapes off the flat kernels
+# (row-major: the round-2-proven triangle/staircase kernels; transposed: the
+# XLA scan psi.suff_stats_t) — one risk policy, not two (ADVICE r3).
+# Interpret mode keeps the full capability window (_FLAT_ML_LIMIT) so CPU
+# parity tests cover every sub-tile ladder.
+_FLAT_ML_HW_LIMIT = 256
+
+
+def _use_flat(ml: int, q: int, interpret: bool) -> bool:
     """Route through the flat-basis kernels: >= 2 lane blocks (one full
     block is already minimal for the old kernels), slab working sets within
-    the calibrated VMEM budgets, and the 3Q+2 basis inside ONE MXU K-tile."""
-    return 2 * 128 <= ml <= _FLAT_ML_LIMIT and 3 * q + 2 <= 128
-
-
-# Hardware window for the (Q, N)-native kernels. ml=256 (M<=200) is proven
-# on a real v5e up to N=1e7; ml=512 COMPILED but crashed the TPU worker at
-# N=1e7/M=500 (unreproduced — the chip went down before the bisect landed).
-# Until a hardware session proves ml in {384, 512} at small N, the model
-# dispatch keeps those shapes on the transposed XLA scan (psi.suff_stats_t)
-# — correct at any M, no kernel risk. Interpret mode keeps the full flat
-# window so CPU parity tests cover every sub-tile ladder.
-_FLAT_T_ML_HW_LIMIT = 256
+    the calibrated VMEM budgets, the 3Q+2 basis inside ONE MXU K-tile, and
+    ml inside the hardware-proven window unless interpreting."""
+    lim = _FLAT_ML_LIMIT if interpret else _FLAT_ML_HW_LIMIT
+    return 2 * 128 <= ml <= lim and 3 * q + 2 <= 128
 
 
 def qn_native_ok(m: int, q: int, interpret: bool) -> bool:
     """Can suff_stats_t route (m, q) through the (Q, N)-native kernels?"""
     _, ml = _m_dims(m)
-    lim = _FLAT_ML_LIMIT if interpret else _FLAT_T_ML_HW_LIMIT
+    lim = _FLAT_ML_LIMIT if interpret else _FLAT_ML_HW_LIMIT
     return 2 * 128 <= ml <= lim and 3 * q + 2 <= 128
 
 
@@ -1074,7 +1079,7 @@ def _call_fwd(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret):
     m = z.shape[0]
     dtype = mu.dtype
     ms, ml = _m_dims(m)
-    if _use_flat(ml, mu.shape[1]):
+    if _use_flat(ml, mu.shape[1], interpret):
         return _call_fwd_flat(mu, s, z, sf2, alpha, yw, w_arr, tile, interpret)
     # Triangle mode works block-at-a-time, but Mosaic does NOT reuse the
     # per-block temporaries across the static block loop (measured: VMEM
@@ -1232,7 +1237,7 @@ def _psi_fused_bwd(tile, interpret, res, cots):
     n = mu.shape[0]
 
     _, ml = _m_dims(m)
-    if _use_flat(ml, mu.shape[1]):
+    if _use_flat(ml, mu.shape[1], interpret):
         return _call_bwd_flat(
             mu, s, z, sf2, alpha, yw, w_arr, dp1y, dp2, tile, interpret)
     # The backward's h3 reshape (kk, TN·Ms) -> (kk, TN, Ms) is a Mosaic

@@ -161,3 +161,19 @@ def test_sgpr_mode_rejected(rng):
     y, mu, s, z, sf2, alpha = _inputs(rng, n=8)
     with pytest.raises(ValueError, match="s=None"):
         psi_pallas.suff_stats(y, mu, None, z, sf2, alpha, interpret=True)
+
+
+def test_flat_dispatch_shares_one_hardware_window():
+    """ADVICE r3: row-major (_use_flat) and transposed (qn_native_ok)
+    dispatch must apply ONE hardware risk policy for the flat-basis kernel
+    family — ml in {384, 512} stays off the flat kernels on real hardware
+    (unproven after the ml=512 worker crash) while interpret mode keeps the
+    full capability window for CPU parity."""
+    q = 3
+    for ml in (256, 384, 512):
+        on_hw = psi_pallas._use_flat(ml, q, interpret=False)
+        assert on_hw == (ml <= psi_pallas._FLAT_ML_HW_LIMIT), ml
+        # transposed dispatch agrees exactly (m chosen so ml_pad == ml)
+        assert psi_pallas.qn_native_ok(ml, q, interpret=False) == on_hw, ml
+        assert psi_pallas._use_flat(ml, q, interpret=True), ml
+        assert psi_pallas.qn_native_ok(ml, q, interpret=True), ml

@@ -95,7 +95,7 @@ def main() -> int:
             # The (Q, N)-native kernels (single-chip large-N path) must also
             # survive the real Mosaic compile and match, across the flat
             # window's sub-tile ladder. M=512 only re-enters when
-            # _FLAT_T_ML_HW_LIMIT is lifted (the ml=512 transposed kernel is
+            # _FLAT_ML_HW_LIMIT is lifted (the ml=512 transposed kernel is
             # quarantined after a worker crash at N=1e7 — psi_pallas.py).
             vq, gq = obj(qn_fn)
             if not np.isclose(float(vq), float(vx), rtol=2e-4):

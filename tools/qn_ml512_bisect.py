@@ -12,7 +12,7 @@ cheap and attributable:
 Run:  python tools/qn_ml512_bisect.py [--max-stage 3]
 Each stage prints PASS/value before moving on; a worker crash identifies
 the failing (ml, direction, N) combination. If all stages pass, raise
-psi_pallas._FLAT_T_ML_HW_LIMIT to 512 and re-run tests/tpu_smoke_runner.py
+psi_pallas._FLAT_ML_HW_LIMIT to 512 and re-run tests/tpu_smoke_runner.py
 (which then re-enables the M=512 qn parity case automatically).
 """
 
@@ -91,7 +91,7 @@ def main():
     print("stage 3: N scale-up at m=500", flush=True)
     for n in (100_000, 1_000_000, 4_000_000):
         vg_once(n, 500)
-    print("ALL STAGES PASS — lift _FLAT_T_ML_HW_LIMIT to 512 and re-run "
+    print("ALL STAGES PASS — lift _FLAT_ML_HW_LIMIT to 512 and re-run "
           "tests/tpu_smoke_runner.py", flush=True)
     return 0
 
