@@ -59,14 +59,25 @@ def write_history(
                 f.write(json.dumps(row) + "\n")
 
 
-_ITER_STAMPS: list = []
+# Stack of LIVE iteration_timer instances. A plain module-global stamp list
+# let two sequential/nested timed fits interleave (and __enter__ cleared a
+# concurrent timer's stamps) — ADVICE r3. The io_callback fires on a JAX
+# runtime thread, not the thread that entered the context, so a
+# threading.local would never see the registration; a global stack with
+# innermost-wins routing is correct for the supported pattern (one timed fit
+# at a time; nested timers each keep their own stamps, the inner one
+# receiving stamps while live). Two timed fits on concurrent THREADS remain
+# unsupported (stamps would route to whichever timer is innermost).
+_ACTIVE_TIMERS: list = []
 
 
 def stamp_iteration(i) -> None:
     """Host-side sink for the optimizer's opt-in per-iteration timing
     callback (`SCGOptions.trace_timing`). Called from inside the compiled
-    loop via an ordered io_callback, so stamps arrive in iteration order."""
-    _ITER_STAMPS.append((int(i), time.perf_counter()))
+    loop via an ordered io_callback, so stamps arrive in iteration order.
+    Routed to the innermost live iteration_timer; dropped when none."""
+    if _ACTIVE_TIMERS:
+        _ACTIVE_TIMERS[-1].stamps.append((int(i), time.perf_counter()))
 
 
 class iteration_timer:
@@ -81,21 +92,27 @@ class iteration_timer:
 
     The optimizer stamps once at loop entry (iteration -1, post-compile) and
     once per executed iteration; deltas between consecutive stamps are the
-    per-iteration wall times, free of compile time."""
+    per-iteration wall times, free of compile time. Stamps are scoped to
+    THIS instance, so back-to-back timed fits (e.g. fit then infer_latents)
+    each report their own iterations."""
+
+    def __init__(self):
+        self.stamps: list = []
 
     def __enter__(self):
-        _ITER_STAMPS.clear()
+        self.stamps = []
+        _ACTIVE_TIMERS.append(self)
         return self
 
     def __exit__(self, *exc):
-        self.stamps = list(_ITER_STAMPS)
+        if self in _ACTIVE_TIMERS:
+            _ACTIVE_TIMERS.remove(self)
         return False
 
     def wall_seconds(self) -> Dict[int, float]:
-        stamps = getattr(self, "stamps", None) or list(_ITER_STAMPS)
         out: Dict[int, float] = {}
         prev_t = None
-        for i, t in stamps:
+        for i, t in self.stamps:
             if prev_t is not None and i >= 0:
                 out[i] = t - prev_t
             prev_t = t

@@ -98,3 +98,30 @@ def test_distributed_module_surface():
     assert distributed.is_coordinator() in (True, False)
     m = distributed.global_mesh()
     assert m.devices.size == len(jax.devices())
+
+
+def test_iteration_timer_scoped_per_instance():
+    """ADVICE r3: stamps route to the innermost live timer instance, so
+    back-to-back timed fits don't interleave and a nested timer can't
+    clobber its parent's stamps."""
+    from gparml_tpu.utils import logging as glog
+
+    with glog.iteration_timer() as t1:
+        glog.stamp_iteration(-1)
+        glog.stamp_iteration(0)
+        with glog.iteration_timer() as t2:
+            glog.stamp_iteration(-1)
+            glog.stamp_iteration(0)
+            glog.stamp_iteration(1)
+        glog.stamp_iteration(1)
+    assert [i for i, _ in t1.stamps] == [-1, 0, 1]
+    assert [i for i, _ in t2.stamps] == [-1, 0, 1]
+    assert set(t1.wall_seconds()) == {0, 1} and set(t2.wall_seconds()) == {0, 1}
+
+    # a second sequential timer starts empty; stamps outside any timer drop
+    glog.stamp_iteration(99)
+    with glog.iteration_timer() as t3:
+        glog.stamp_iteration(-1)
+        glog.stamp_iteration(0)
+    assert [i for i, _ in t3.stamps] == [-1, 0]
+    assert not glog._ACTIVE_TIMERS
