@@ -1,6 +1,8 @@
 """Bound parity (B-form vs oracle's A-form), dense-GP limit, and gradient
 checks via finite differences (SURVEY.md §4 items 1-2)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -188,14 +190,17 @@ def test_f32_bound_finite_at_large_m(rng):
     from gparml_tpu.models import gplvm
 
     y, _ = data.synthetic_gplvm(n=3000, d=6, q_true=2, seed=9)
-    for m in (200, 260):
+    # m=200 is where the f32 breakdown appeared; a second size under
+    # GPARML_TPU_SLOW crosses the next lane-block boundary
+    ms = (200, 260) if os.environ.get("GPARML_TPU_SLOW") else (200,)
+    for m in ms:
         cfg = gplvm.GPLVMConfig(q=3, num_inducing=m, stats_impl="xla")
         p0 = gplvm.init_params(
             jax.random.key(0), jnp.asarray(y, jnp.float32), cfg
         )
-        f, g = gplvm.neg_bound_value_and_grad(
-            p0, jnp.asarray(y, jnp.float32), cfg
-        )
+        f, g = jax.jit(
+            lambda p, yy: gplvm.neg_bound_value_and_grad(p, yy, cfg)
+        )(p0, jnp.asarray(y, jnp.float32))
         assert np.isfinite(float(f)), m
         assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(g)), m
 

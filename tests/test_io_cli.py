@@ -224,7 +224,7 @@ def test_cli_svgp_resume(tmp_path, rng):
     data.save_embeddings(str(emb), x, np.full_like(x, 1e-6), n_partitions=2)
     argv = [
         "-i", str(inputs), "-e", str(emb), "-s", str(stats),
-        "-T", "300", "-q", "1", "-m", "8", "--fixed-embeddings",
+        "-T", "150", "-q", "1", "-m", "8", "--fixed-embeddings",
         "--optimizer", "svgp", "--batch-size", "64", "--learning-rate", "0.05",
     ]
     s1 = cli.main(argv)

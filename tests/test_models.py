@@ -173,8 +173,8 @@ def test_gplvm_qn_layout_matches_nq(rng):
     np.testing.assert_allclose(np.asarray(p_qn.lat.mu),
                                np.asarray(p_nq.lat.mu).T, rtol=1e-12)
 
-    f_nq, g_nq = gplvm.neg_bound_value_and_grad(p_nq, yj, cfg_nq)
-    f_qn, g_qn = gplvm.neg_bound_value_and_grad(p_qn, yj, cfg_qn)
+    f_nq, g_nq = jax.jit(lambda p, y: gplvm.neg_bound_value_and_grad(p, y, cfg_nq))(p_nq, yj)
+    f_qn, g_qn = jax.jit(lambda p, y: gplvm.neg_bound_value_and_grad(p, y, cfg_qn))(p_qn, yj)
     np.testing.assert_allclose(float(f_qn), float(f_nq), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(g_qn.lat.mu),
                                np.asarray(g_nq.lat.mu).T, rtol=1e-10)

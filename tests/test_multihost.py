@@ -227,6 +227,11 @@ def test_remote_config5_m500(tmp_path):
     assert 0 < s["peak_rss_mb"] < 9000, s["peak_rss_mb"]
 
 
+@pytest.mark.skipif(
+    not os.environ.get("GPARML_TPU_SLOW"),
+    reason="2-process svgp train+resume (~80 s; resume mechanics already "
+           "covered by the gplvm 2-process test); set GPARML_TPU_SLOW=1",
+)
 def test_remote_svgp_train_resume(sgpr_folders):
     """Data-parallel SVGP over the REAL 2-process group (VERDICT r2 item 2:
     the -p remote hard-error on svgp is lifted): train, checkpoint, resume."""

@@ -49,7 +49,7 @@ def test_bound_and_grads_invariant_across_mesh_sizes(rng):
         st = psi.suff_stats(jnp.asarray(y), mu_, s_, zj, sf2, alphaj)
         return bound.bound_from_stats(st, zj, sf2, alphaj, beta, d=y.shape[1])
 
-    f_ref, g_ref = jax.value_and_grad(ref_obj, argnums=(0, 1, 2))(
+    f_ref, g_ref = jax.jit(jax.value_and_grad(ref_obj, argnums=(0, 1, 2)))(
         zj, jnp.asarray(mu), jnp.asarray(s)
     )
 
@@ -166,7 +166,7 @@ def test_pallas_m_limit_fallback(rng):
                 jnp.asarray(y), mu_, s_, zj, sf2, alphaj, impl=impl
             )
             return st.psi0 + jnp.sum(st.psi1_y) + jnp.sum(st.psi2) + st.kl
-        return jax.value_and_grad(f, argnums=(0, 1, 2))(
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))(
             zj, jnp.asarray(mu), jnp.asarray(s)
         )
 

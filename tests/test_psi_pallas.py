@@ -69,8 +69,8 @@ def test_backward_parity(rng):
         return jnp.sum(p1y * wy) + jnp.sum(p2 * wp)
 
     args = (mu, s, z, sf2, alpha, y)
-    g_ref = jax.grad(obj_ref, argnums=(0, 1, 2, 3, 4, 5))(*args)
-    g_pal = jax.grad(obj_pal, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_ref = jax.jit(jax.grad(obj_ref, argnums=(0, 1, 2, 3, 4, 5)))(*args)
+    g_pal = jax.jit(jax.grad(obj_pal, argnums=(0, 1, 2, 3, 4, 5)))(*args)
     names = ["mu", "s", "z", "sf2", "alpha", "y"]
     for name, a, b in zip(names, g_pal, g_ref):
         np.testing.assert_allclose(
@@ -93,8 +93,8 @@ def test_bound_through_pallas_matches(rng):
         st = psi_pallas.suff_stats(y, mu, s, z, sf2, alpha, tile=8, interpret=True)
         return bound.bound_from_stats(st, z, sf2, alpha, beta, d=y.shape[1])
 
-    fr, gr = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(mu, s, z)
-    fp, gp = jax.value_and_grad(f_pal, argnums=(0, 1, 2))(mu, s, z)
+    fr, gr = jax.jit(jax.value_and_grad(f_ref, argnums=(0, 1, 2)))(mu, s, z)
+    fp, gp = jax.jit(jax.value_and_grad(f_pal, argnums=(0, 1, 2)))(mu, s, z)
     np.testing.assert_allclose(float(fp), float(fr), rtol=1e-5)
     for a, b in zip(gp, gr):
         # Norm-scaled: both f32 paths wobble ~1e-3 of the gradient norm around
@@ -123,7 +123,7 @@ def test_pallas_stats_inside_shard_map(rng):
                 ys, mu_, s_, z_, sf2, alpha, mesh=m8, weights=w, impl=impl, tile=8
             )
             return jnp.sum(st.psi2) + jnp.sum(st.psi1_y)
-        return jax.value_and_grad(f, argnums=(0, 1, 2))(mus, ss, z)
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))(mus, ss, z)
 
     fx, gx = obj("xla")
     fp, gp = obj("pallas")
@@ -142,7 +142,7 @@ def test_forward_backward_parity_large_m(rng):
         def f(mu, s, z):
             st = fn(y, mu, s, z, sf2, alpha)
             return jnp.sum(st.psi2) * 0.1 + jnp.sum(st.psi1_y)
-        return jax.value_and_grad(f, argnums=(0, 1, 2))(mu, s, z)
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))(mu, s, z)
 
     fr, gr = obj(lambda *a: psi.suff_stats(*a))
     fp, gp = obj(lambda *a: psi_pallas.suff_stats(*a, tile=8, interpret=True))

@@ -12,6 +12,8 @@ this is TPU-memory-layout engineering on top of the same math
 (SURVEY.md Appendix A).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -41,7 +43,13 @@ def _loss(st, m):
 
 @pytest.mark.parametrize("m,n,tile", [
     (140, 203, 16),   # Ml=256 flat window; N not a lane multiple; 8 sub-tiles
-    (300, 150, 64),   # Ml=384 flat window; sub-tile != tile hint
+    pytest.param(
+        300, 150, 64,  # Ml=384 flat window; sub-tile != tile hint
+        marks=pytest.mark.skipif(
+            not os.environ.get("GPARML_TPU_SLOW"),
+            reason="interpret-mode Ml=384 ladder (~18 s); the Ml=256 case "
+                   "covers the same kernel path; set GPARML_TPU_SLOW=1"),
+    ),
 ])
 def test_suff_stats_t_matches_row_major(m, n, tile):
     q, d = 5, 4
@@ -61,8 +69,8 @@ def test_suff_stats_t_matches_row_major(m, n, tile):
         return _loss(st, m)
 
     args = (mu, s, y, z, sf2, al)
-    v1, g1 = jax.value_and_grad(f_nq)(args)
-    v2, g2 = jax.value_and_grad(f_qn)(args)
+    v1, g1 = jax.jit(jax.value_and_grad(f_nq))(args)
+    v2, g2 = jax.jit(jax.value_and_grad(f_qn))(args)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -93,16 +101,17 @@ def test_gplvm_qn_native_bound_and_fit():
 
     cfg_nq = gplvm.GPLVMConfig(q=q, num_inducing=m, stats_impl="pallas")
     p_nq = gplvm.init_params(key, y, cfg_nq)
-    b_nq = gplvm.log_bound(p_nq, y, cfg_nq)
 
     cfg_qn = gplvm.GPLVMConfig(q=q, num_inducing=m, stats_impl="pallas",
                                layout="qn", y_layout="dn")
     p_qn = gplvm.init_params(key, y.T, cfg_qn)
-    b_qn = gplvm.log_bound(p_qn, y.T, cfg_qn)
-    np.testing.assert_allclose(float(b_nq), float(b_qn), rtol=1e-6)
 
-    _, g_nq = gplvm.neg_bound_value_and_grad(p_nq, y, cfg_nq)
-    _, g_qn = gplvm.neg_bound_value_and_grad(p_qn, y.T, cfg_qn)
+    # value_and_grad gives the bound too — separate log_bound calls would
+    # double the interpret-mode kernel executions for no extra coverage
+    v_nq, g_nq = jax.jit(lambda p, y: gplvm.neg_bound_value_and_grad(p, y, cfg_nq))(p_nq, y)
+    v_qn, g_qn = jax.jit(lambda p, y: gplvm.neg_bound_value_and_grad(p, y, cfg_qn))(p_qn, y.T)
+    b_qn = -v_qn
+    np.testing.assert_allclose(float(v_nq), float(v_qn), rtol=1e-6)
     # Interpret-mode dots are bf16-class and the two layouts accumulate in
     # different orders, so compare at gradient SCALE (both sit ~7e-4 of the
     # XLA engine; the real-Mosaic parity gate lives in tpu_smoke_runner.py).
@@ -113,7 +122,9 @@ def test_gplvm_qn_native_bound_and_fit():
     np.testing.assert_allclose(np.asarray(g_qn.glob.z), gz,
                                atol=3e-3 * np.max(np.abs(gz)))
 
-    res = gplvm.fit(p_qn, y.T, cfg_qn, iters=5)
+    # 2 iterations: enough to prove the qn fit loop runs and does not regress
+    # the bound (trajectory parity is covered above at the gradient level)
+    res = gplvm.fit(p_qn, y.T, cfg_qn, iters=2)
     assert np.isfinite(float(res.bound))
     assert float(res.bound) >= float(b_qn) - 1e-3
 
@@ -141,8 +152,8 @@ def test_psi_suff_stats_t_blocked_scan(block):
         return _loss(st, m)
 
     args = (mu, s, y, z, sf2, al)
-    v1, g1 = jax.value_and_grad(f_nq)(args)
-    v2, g2 = jax.value_and_grad(f_qn)(args)
+    v1, g1 = jax.jit(jax.value_and_grad(f_nq))(args)
+    v2, g2 = jax.jit(jax.value_and_grad(f_qn))(args)
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
@@ -167,8 +178,8 @@ def test_gplvm_qn_large_m_routes_to_transposed_scan():
     np.testing.assert_allclose(
         float(gplvm.log_bound(p_nq, y, cfg_nq)),
         float(gplvm.log_bound(p_qn, y.T, cfg_qn)), rtol=5e-6)
-    _, g_nq = gplvm.neg_bound_value_and_grad(p_nq, y, cfg_nq)
-    _, g_qn = gplvm.neg_bound_value_and_grad(p_qn, y.T, cfg_qn)
+    _, g_nq = jax.jit(lambda p, y: gplvm.neg_bound_value_and_grad(p, y, cfg_nq))(p_nq, y)
+    _, g_qn = jax.jit(lambda p, y: gplvm.neg_bound_value_and_grad(p, y, cfg_qn))(p_qn, y.T)
     # stats agree to ~1e-6 (f32 block-order), but M=700 random-Z solves
     # amplify that through A^-1 conditioning: compare at gradient scale
     g1 = np.asarray(g_nq.lat.mu)
@@ -204,9 +215,9 @@ def test_sgpr_suff_stats_blocked_and_transposed(block):
         return _loss(st, m)
 
     args = (mu, y, z, sf2, al)
-    v0, g0 = jax.value_and_grad(f_ref)(args)
+    v0, g0 = jax.jit(jax.value_and_grad(f_ref))(args)
     for f in (f_blocked, f_qn):
-        v, g = jax.value_and_grad(f)(args)
+        v, g = jax.jit(jax.value_and_grad(f))(args)
         np.testing.assert_allclose(float(v), float(v0), rtol=1e-6)
         for a, b in zip(g, g0):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),

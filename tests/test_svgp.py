@@ -2,6 +2,7 @@
 bound, training recovers the function, predictions agree with the collapsed
 SGPR at convergence."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -89,7 +90,8 @@ def test_svgp_matches_collapsed_predictions(rng):
 
 
 def test_svgp_sharded_full_batch_matches_single_device(rng):
-    """Mesh-{1,2,8} data-parallel SVGP: with a FULL global batch the window
+    """Mesh-{1,8} ({1,2,8} under GPARML_TPU_SLOW) data-parallel SVGP: with a
+    FULL global batch the window
     estimator is deterministic (every wraparound window covers the whole
     shard), so one step's loss/gradients and elbo_sharded must match the
     single-device full-data values exactly (VERDICT r2 item 2)."""
@@ -99,17 +101,22 @@ def test_svgp_sharded_full_batch_matches_single_device(rng):
     cfg = svgp.SVGPConfig(num_inducing=8, batch_size=64)
     p0 = svgp.init_params(jax.random.key(0), x, y, cfg)
 
-    ref = float(svgp.elbo(p0, x, y, 64, cfg))
-    g_ref = jax.grad(lambda p: svgp.elbo(p, x, y, 64, cfg))(p0)
+    # jit'd value_and_grad, ONE compile per mesh size (eager dispatch of the
+    # shard_map grads was ~18 s per mesh size); mesh sizes {1, 8} bracket
+    # the invariance claim, {2} is gated slow.
+    ref, g_ref = jax.jit(
+        jax.value_and_grad(lambda p: svgp.elbo(p, x, y, 64, cfg))
+    )(p0)
+    ref = float(ref)
 
-    for k in (1, 2, 8):
+    sizes = (1, 2, 8) if os.environ.get("GPARML_TPU_SLOW") else (1, 8)
+    for k in sizes:
         m = mesh_lib.make_mesh(k)
         ys, xs, w = mesh_lib.shard_data(m, np.asarray(y), np.asarray(x))
-        val = float(svgp.elbo_sharded(p0, xs, ys, cfg, mesh=m, weights=w))
-        np.testing.assert_allclose(val, ref, rtol=1e-10)
-        g = jax.grad(
+        val, g = jax.jit(jax.value_and_grad(
             lambda p: svgp.elbo_sharded(p, xs, ys, cfg, mesh=m, weights=w)
-        )(p0)
+        ))(p0)
+        np.testing.assert_allclose(float(val), ref, rtol=1e-10)
         for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-8, atol=1e-10)
