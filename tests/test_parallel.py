@@ -34,9 +34,9 @@ def test_stats_invariant_across_mesh_sizes(rng):
     for k in (1, 2, 8):
         m = mesh_lib.make_mesh(k)
         ys, mus, ss, w = mesh_lib.shard_data(m, y, mu, s)
-        st = pstats.suff_stats_sharded(
-            ys, mus, ss, args[3], sf2, alpha_j, mesh=m, weights=w
-        )
+        st = jax.jit(lambda mus_, ss_, z_: pstats.suff_stats_sharded(
+            ys, mus_, ss_, z_, sf2, alpha_j, mesh=m, weights=w
+        ))(mus, ss, args[3])
         for a, b in zip(ref, st):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
 

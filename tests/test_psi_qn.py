@@ -95,7 +95,7 @@ def test_gplvm_qn_native_bound_and_fit():
     """Model-level dispatch: layout='qn' + y_layout='dn' must reproduce the
     row-major bound/gradients from identical parameters and train."""
     rng = np.random.default_rng(1)
-    n, d, q, m = 150, 6, 4, 130
+    n, d, q, m = 96, 6, 4, 130
     y = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
     key = jax.random.PRNGKey(0)
 
@@ -111,7 +111,9 @@ def test_gplvm_qn_native_bound_and_fit():
     v_nq, g_nq = jax.jit(lambda p, y: gplvm.neg_bound_value_and_grad(p, y, cfg_nq))(p_nq, y)
     v_qn, g_qn = jax.jit(lambda p, y: gplvm.neg_bound_value_and_grad(p, y, cfg_qn))(p_qn, y.T)
     b_qn = -v_qn
-    np.testing.assert_allclose(float(v_nq), float(v_qn), rtol=1e-6)
+    # f32 + different accumulation orders between the two layouts: observed
+    # up to ~2e-6 relative on the bound (shape-dependent)
+    np.testing.assert_allclose(float(v_nq), float(v_qn), rtol=5e-6)
     # Interpret-mode dots are bf16-class and the two layouts accumulate in
     # different orders, so compare at gradient SCALE (both sit ~7e-4 of the
     # XLA engine; the real-Mosaic parity gate lives in tpu_smoke_runner.py).
@@ -176,8 +178,9 @@ def test_gplvm_qn_large_m_routes_to_transposed_scan():
     # f32 accumulation order differs (block=32 transposed scan vs one-shot
     # XLA): observed up to ~1e-6 relative on the bound
     np.testing.assert_allclose(
-        float(gplvm.log_bound(p_nq, y, cfg_nq)),
-        float(gplvm.log_bound(p_qn, y.T, cfg_qn)), rtol=5e-6)
+        float(jax.jit(lambda p, yy: gplvm.log_bound(p, yy, cfg_nq))(p_nq, y)),
+        float(jax.jit(lambda p, yy: gplvm.log_bound(p, yy, cfg_qn))(p_qn, y.T)),
+        rtol=5e-6)
     _, g_nq = jax.jit(lambda p, y: gplvm.neg_bound_value_and_grad(p, y, cfg_nq))(p_nq, y)
     _, g_qn = jax.jit(lambda p, y: gplvm.neg_bound_value_and_grad(p, y, cfg_qn))(p_qn, y.T)
     # stats agree to ~1e-6 (f32 block-order), but M=700 random-Z solves
