@@ -45,9 +45,11 @@ def main() -> int:
     F = jnp.float32
     failures = []
     # M=200 hits the flat-basis fwd+bwd (the production path); M=512 the
-    # flat kernels at their Ml limit (minimum tile); M=640 the lane-chunked
-    # full-square fallback (Ml > _FLAT_ML_LIMIT); Q=44 the triangle-forward
-    # + staircase-backward pair (3Q+2 > 128 disables the flat basis).
+    # largest staircase/triangle shape inside _STAIR_ML_LIMIT (the flat
+    # kernels only re-take this shape when _FLAT_ML_HW_LIMIT is lifted to
+    # 512 after the bisect); M=640 the lane-chunked full-square fallback;
+    # Q=44 the triangle-forward + staircase-backward pair at small M
+    # (3Q+2 > 128 disables the flat basis).
     for n, m, q, d in ((64, 200, 10, 12), (24, 512, 10, 12),
                        (16, 640, 10, 12), (24, 256, 44, 4)):
         rng = np.random.default_rng(m)
@@ -111,8 +113,9 @@ def main() -> int:
         print("\n".join(failures))
         return 1
     print("tpu smoke: pallas fwd+bwd matches XLA on hardware "
-          "(M=200/512 flat-basis; (Q,N)-native inside its hw window; "
-          "M=640 lane-chunked; Q=44 staircase)")
+          "(M=200 flat-basis; M=512 inside the staircase/flat hw window; "
+          "(Q,N)-native inside its hw window; M=640 lane-chunked; "
+          "Q=44 staircase)")
     return 0
 
 
