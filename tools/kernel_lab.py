@@ -536,12 +536,16 @@ def main():
     orig_bwd_budget = pp._BWD_BUDGET
     orig_fwd_budget = pp._FWD_BUDGET
     orig_tri_bl = pp._TRI_BL
+    orig_bucket = pp._bucket_mirror
+    orig_fuse = pp._fuse_mirror
     for v in variants:
         pp._bwd_kernel = orig_bwd
         pp._fwd_kernel = orig_fwd
         pp._BWD_BUDGET = orig_bwd_budget
         pp._FWD_BUDGET = orig_fwd_budget
         pp._TRI_BL = orig_tri_bl
+        pp._bucket_mirror = orig_bucket
+        pp._fuse_mirror = orig_fuse
         run_tile = tile
         if v == "base":
             pass
@@ -583,6 +587,24 @@ def main():
         elif v == "both_stair_fold":
             pp._fwd_kernel = make_fwd_stair(fold_vr=True)
             pp._bwd_kernel = make_bwd_stair("f32", fold_vr=True)
+        elif v == "bwd_mirror_padded":
+            # round-3 mirror accumulation (A/B for the round-4 bucketing):
+            # pad each slab's mirror contribution with zeros and add the
+            # full (K, TN, Ml) tensor into one accumulator
+            def _bucket_padded(mir, hm, r1, bl=128):
+                mir[0].append((hm, r1))
+
+            def _fuse_padded(hrows, mir):
+                h = jnp.concatenate(hrows, axis=2)
+                ml = h.shape[2]
+                for hm, _r1 in mir[0]:
+                    wm = hm.shape[2]
+                    pad = jnp.zeros(hm.shape[:2] + (ml - wm,), hm.dtype)
+                    h = h + jnp.concatenate([pad, hm], axis=2)
+                return h
+
+            pp._bucket_mirror = _bucket_padded
+            pp._fuse_mirror = _fuse_padded
         elif v.startswith("bwd_"):
             pp._bwd_kernel = make_bwd_variant(v[4:])
         else:
@@ -600,6 +622,8 @@ def main():
             pp._BWD_BUDGET = orig_bwd_budget
             pp._FWD_BUDGET = orig_fwd_budget
             pp._TRI_BL = orig_tri_bl
+            pp._bucket_mirror = orig_bucket
+            pp._fuse_mirror = orig_fuse
 
 
 if __name__ == "__main__":
