@@ -122,29 +122,30 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
+    import sys
+
     results = {}
     errors = {}
     for impl in ("xla", "pallas"):
         try:
             results[impl] = measure(impl)
         except Exception as e:
-            errors[impl] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            # MemoryError() and friends can stringify to '' — never index
+            # an empty splitlines() inside the artifact-preserving handler
+            msg = (str(e).splitlines() or ["<no message>"])[0][:200]
+            errors[impl] = f"{type(e).__name__}: {msg}"
 
+    if errors:
+        # Even a SINGLE engine failing at bench scale is a flagship-path
+        # regression the small-N smoke gate cannot catch — always loud.
+        print(f"bench: engine failure(s) at bench scale: {errors}",
+              file=sys.stderr)
     if not results:
         # Both engines failed AFTER the kernel smoke passed: an N=1e6-scale
         # infra/memory failure, not a parity bug. Keep the one-line JSON
         # contract (a bare exception here cost round 3 its artifact) and
         # put the failure in the record where the judge reads it.
-        import sys
-        print(json.dumps({
-            "metric": "GPLVM bound+grad evals/sec (N=1e6, Q=10, M=200, D=12)",
-            "value": None,
-            "unit": "evals/sec",
-            "vs_baseline": None,
-            "note": f"both engines failed at bench scale: {errors}",
-        }))
-        print(f"bench: both engines failed: {errors}", file=sys.stderr)
-        raise SystemExit(0)
+        _no_hardware_record(f"both engines failed at bench scale: {errors}")
 
     impl_best = min(results, key=results.get)
     dt = results[impl_best]
@@ -201,6 +202,7 @@ def main():
                 "psi_gflops": round(gflops, 1),
                 **m500,
                 **qn,
+                **({"engine_errors": errors} if errors else {}),
             }
         )
     )

@@ -76,8 +76,12 @@ def stamp_iteration(i) -> None:
     callback (`SCGOptions.trace_timing`). Called from inside the compiled
     loop via an ordered io_callback, so stamps arrive in iteration order.
     Routed to the innermost live iteration_timer; dropped when none."""
-    if _ACTIVE_TIMERS:
+    try:
+        # snapshot-index rather than truthiness-then-[-1]: this runs on the
+        # JAX runtime thread, racing a main-thread __exit__ remove()
         _ACTIVE_TIMERS[-1].stamps.append((int(i), time.perf_counter()))
+    except IndexError:
+        pass
 
 
 class iteration_timer:
@@ -94,7 +98,11 @@ class iteration_timer:
     once per executed iteration; deltas between consecutive stamps are the
     per-iteration wall times, free of compile time. Stamps are scoped to
     THIS instance, so back-to-back timed fits (e.g. fit then infer_latents)
-    each report their own iterations."""
+    each report their own iterations — PROVIDED the caller host-syncs the
+    fit's outputs inside the block (read any result value, as cli.py does):
+    with async dispatch, a fit whose callbacks are still in flight when the
+    block exits would route its remaining stamps to whatever timer is live
+    next."""
 
     def __init__(self):
         self.stamps: list = []

@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--devices", type=int, default=4)
     ap.add_argument("--out", default=None, help="summary JSON path (coordinator)")
+    ap.add_argument("--then-load", type=int, default=None, metavar="T2",
+                    help="after the main run, run the CLI again with --load "
+                         "-T T2 in the SAME process group (checkpoint-resume "
+                         "coverage without a second spawn: the resumed fit "
+                         "hits the in-process jit cache)")
     ap.add_argument("cli_args", nargs=argparse.REMAINDER)
     a = ap.parse_args()
 
@@ -45,6 +50,9 @@ def main():
 
     cli_args = [arg for arg in a.cli_args if arg != "--"]
     summary = cli.main(cli_args)
+    if a.then_load is not None:
+        # argparse keeps the LAST occurrence of a repeated flag
+        summary["resumed"] = cli.main(cli_args + ["--load", "-T", str(a.then_load)])
     if a.out and (a.process_id is None or a.process_id == 0):
         import resource
 

@@ -53,12 +53,12 @@ def _run_single(cli_args, out, timeout=600, devices=4):
         return json.load(f)
 
 
-def _run_two_process(cli_args, out, timeout=600):
+def _run_two_process(cli_args, out, timeout=600, extra_runner_args=()):
     port = _free_port()
     procs = [
         _spawn(
             ["--process-id", str(pid), "--num-processes", "2",
-             "--port", str(port), "--devices", "4"]
+             "--port", str(port), "--devices", "4", *extra_runner_args]
             + (["--out", out] if pid == 0 else []),
             cli_args,
         )
@@ -124,7 +124,10 @@ def test_remote_gplvm_train_save_resume(tmp_path, rng):
     base = ["-i", str(inputs), "-e", str(emb), "-s", str(st),
             "-q", "2", "-m", "6", "-p", "remote"]
 
-    s1 = _run_two_process(base + ["-T", "6"], str(tmp_path / "s1.json"))
+    # train + 2-process resume share ONE spawned group (--then-load); the
+    # process-count-change resume below still needs its own spawn
+    s1 = _run_two_process(base + ["-T", "6"], str(tmp_path / "s1.json"),
+                          extra_runner_args=("--then-load", "4"))
     assert np.isfinite(s1["final_bound"]) and s1["devices"] == 8
     # one embedding partition per host, correct row split (64 -> 32 + 32)
     mu0 = np.load(emb / "X_mu_0.npy")
@@ -136,7 +139,7 @@ def test_remote_gplvm_train_save_resume(tmp_path, rng):
         assert not any(k.startswith("lat") for k in f.files)
 
     # resume on 2 processes: bound continues from (not below) the saved state
-    s2 = _run_two_process(base + ["-T", "4", "--load"], str(tmp_path / "s2.json"))
+    s2 = s1["resumed"]
     assert s2["final_bound"] >= s1["final_bound"] - 1e-2
 
     # the per-host embedding files + globals checkpoint also resume on a
@@ -227,23 +230,25 @@ def test_remote_config5_m500(tmp_path):
     assert 0 < s["peak_rss_mb"] < 9000, s["peak_rss_mb"]
 
 
-@pytest.mark.skipif(
-    not os.environ.get("GPARML_TPU_SLOW"),
-    reason="2-process svgp train+resume (~80 s; resume mechanics already "
-           "covered by the gplvm 2-process test); set GPARML_TPU_SLOW=1",
-)
 def test_remote_svgp_train_resume(sgpr_folders):
     """Data-parallel SVGP over the REAL 2-process group (VERDICT r2 item 2:
-    the -p remote hard-error on svgp is lifted): train, checkpoint, resume."""
+    the -p remote hard-error on svgp is lifted): train, checkpoint, resume.
+    This is the ONLY default-CI coverage of svgp's elbo_sharded over a real
+    process group and its checkpoint-restore branch — stays un-gated; step
+    counts trimmed instead (spawn + compile dominate the cost anyway)."""
     tmp_path, inputs, emb = sgpr_folders
     st = tmp_path / "svst"
     base = ["-i", str(inputs), "-e", str(emb), "-s", str(st),
             "-m", "8", "--fixed-embeddings", "--optimizer", "svgp",
             "--batch-size", "32", "--learning-rate", "0.05", "-p", "remote"]
-    s1 = _run_two_process(base + ["-T", "80"], str(tmp_path / "sv1.json"))
+    # train + checkpoint-resume in ONE spawned process group (--then-load):
+    # spawn + per-process tracing dominate, and the resumed fit hits the
+    # in-process jit cache — same coverage at ~half the wall time
+    s1 = _run_two_process(base + ["-T", "40"], str(tmp_path / "sv1.json"),
+                          extra_runner_args=("--then-load", "20"))
     assert np.isfinite(s1["final_elbo"]) and s1["devices"] == 8
     assert s1["parallel"] == "remote"
     assert (st / "checkpoint.npz").exists()
-    s2 = _run_two_process(base + ["-T", "40", "--load"],
-                          str(tmp_path / "sv2.json"))
+    s2 = s1["resumed"]
+    assert s2["parallel"] == "remote" and s2["iterations"] == 20
     assert s2["final_elbo"] >= s1["final_elbo"] - 5.0
