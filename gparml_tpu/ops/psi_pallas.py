@@ -945,6 +945,17 @@ def psi_fused(mu, s, z, sf2, alpha, yw, w_arr, tile: int = 32,
     return out
 
 
+# ===========================================================================
+# DEVICE-GENERATION CALIBRATION BLOCK — every tiling constant below
+# (_FWD_BUDGET .. _STAIR_BUDGET, _FLAT_ML_HW_LIMIT) was measured on a
+# TPU v5e (16 MB VMEM/core). They are CONSERVATIVE compile-or-fallback
+# bounds, not correctness constants: on a v4/v5p (VMEM differs, Mosaic
+# scoped-vmem accounting may differ) the kernels still run correctly but
+# may use v5e-sized tiles (leaving headroom) — re-run
+# tools/{flat_lab,kernel_lab,grid_lab}.py on the new generation and bump
+# these together. Nothing else in this file is device-family-specific.
+# ===========================================================================
+
 # VMEM element budgets for the (TN, Ms, Ml) working set, calibrated on a
 # v5e: forward keeps ~2 big f32 buffers live, backward ~3 f32 + 2 bf16.
 _FWD_BUDGET = 64 * 256 * 256
