@@ -946,14 +946,28 @@ def psi_fused(mu, s, z, sf2, alpha, yw, w_arr, tile: int = 32,
 
 
 # ===========================================================================
-# DEVICE-GENERATION CALIBRATION BLOCK — every tiling constant below
-# (_FWD_BUDGET .. _STAIR_BUDGET, _FLAT_ML_HW_LIMIT) was measured on a
-# TPU v5e (16 MB VMEM/core). They are CONSERVATIVE compile-or-fallback
-# bounds, not correctness constants: on a v4/v5p (VMEM differs, Mosaic
-# scoped-vmem accounting may differ) the kernels still run correctly but
-# may use v5e-sized tiles (leaving headroom) — re-run
-# tools/{flat_lab,kernel_lab,grid_lab}.py on the new generation and bump
-# these together. Nothing else in this file is device-family-specific.
+# DEVICE-GENERATION CALIBRATION BLOCK. The constants below fall into three
+# classes with DIFFERENT re-calibration rules:
+#
+#  (1) VMEM-budget bounds — _FWD_BUDGET, _BWD_BUDGET, _FLAT_FWD_ELEMS,
+#      _FLAT_BWD_ELEMS, _STAIR_BUDGET — measured on a TPU v5e (16 MB
+#      VMEM/core). Conservative compile-or-fallback bounds, not correctness
+#      constants: on v4/v5p the kernels still run correctly but may use
+#      v5e-sized tiles (leaving headroom). Re-run
+#      tools/{flat_lab,kernel_lab,grid_lab}.py on the new generation and
+#      bump these together. Two more v5e-sized values of the same class
+#      live OUTSIDE this block: the 18 MB vmem_limit_bytes CompilerParams
+#      override (a 2M bump over the v5e's 16M scoped-vmem default) and the
+#      min(tile, 64) triangle-mode N-tile cap — re-measure both too.
+#  (2) Capability windows — _FLAT_ML_LIMIT, _STAIR_ML_LIMIT — the shapes
+#      the kernels are WRITTEN to handle (interpret-mode CPU parity tests
+#      exercise the full window). Not hardware measurements; do not shrink
+#      them when porting or the CPU coverage of the ml in (256, 512]
+#      sub-tile ladders disappears.
+#  (3) Hardware crash guard — _FLAT_ML_HW_LIMIT — guards a DOCUMENTED TPU
+#      worker crash (see its own comment). NEVER bump it with class (1);
+#      it may only be raised after tools/qn_ml512_bisect.py passes ml in
+#      {384, 512} fwd+bwd on real hardware.
 # ===========================================================================
 
 # VMEM element budgets for the (TN, Ms, Ml) working set, calibrated on a
