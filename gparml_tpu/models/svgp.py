@@ -396,7 +396,32 @@ def _fit_sharded(
             lambda c, k: step(c, k, xe, ye, we), (p0, opt.init(p0)), keys
         )
     )(p0, keys, x_ext, y_ext, w_ext)
-    final = elbo_sharded(p, x, y, config, mesh=mesh, weights=weights)
+    # Final ELBO report, same policy as the plain path: full data if small,
+    # else an unbiased subset estimate. (The full-data term at large N costs
+    # O(N·M²·D) through the (D, M, B) projection — measured 8 s on a CPU host
+    # and ~50 s-equivalent per 100 steps on a v5e at N=2e5, which made the
+    # sharded fit look 9x slower than the plain one at mesh=1.) A prefix of
+    # the per-shard SHUFFLED arrays is a uniform without-replacement sample,
+    # and padded rows carry w=0, so the weighted prefix sum scaled by
+    # n_local/l_sub estimates the full weighted data term exactly in
+    # expectation.
+    if n_pad <= 65536:
+        final = elbo_sharded(p, x, y, config, mesh=mesh, weights=weights)
+    else:
+        l_sub = min(n_local, 4 * b_local)
+        sub_scale = jnp.asarray(n_local / l_sub, y.dtype)
+
+        def final_body(p, xl, yl, wl):
+            data = jax.lax.psum(
+                _data_term(p, xl[:l_sub], yl[:l_sub], wl[:l_sub], config), ax
+            )
+            return sub_scale * data - _kl_qu(p, d, config)
+
+        final = jax.shard_map(
+            final_body, mesh=mesh,
+            in_specs=(p_specs, PS(ax), PS(ax), PS(ax)), out_specs=rep,
+            check_vma=False,  # same policy as elbo_sharded
+        )(p, x_ext, y_ext, w_ext)
     return FitResult(params=p, elbo=final, history=history,
                      n_evals=jnp.asarray(steps, jnp.int32))
 

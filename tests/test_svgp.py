@@ -145,6 +145,29 @@ def test_svgp_sharded_training_recovers_function(rng):
     assert np.all(np.asarray(var) > 0)
 
 
+def test_svgp_sharded_final_elbo_subset_estimate(rng):
+    """Above the 65536-row threshold the sharded fit reports its final ELBO
+    from a per-shard prefix of the shuffled arrays instead of the full data
+    (the full-data projection is O(N·M²·D) — it made a mesh=1 fit look 9x
+    slower than the plain path). With 4·b_local >= n_local the prefix covers
+    the whole (shuffled) shard, so the estimate must equal the exact
+    elbo_sharded up to f32 summation order."""
+    from gparml_tpu.parallel import mesh as mesh_lib
+
+    n = 65544  # first multiple of 8 above the subset threshold
+    x, y = _problem(rng, n=n)
+    # global batch 16392 -> b_local 2049 -> l_sub = n_local = 8193: exact
+    cfg = svgp.SVGPConfig(num_inducing=8, batch_size=16392)
+    p0 = svgp.init_params(jax.random.key(0), x, y, cfg)
+    m8 = mesh_lib.make_mesh(8)
+    ys, xs, w = mesh_lib.shard_data(m8, np.asarray(y), np.asarray(x))
+    res = svgp.fit(p0, xs, ys, cfg, steps=2, learning_rate=1e-2,
+                   mesh=m8, weights=w)
+    exact = float(svgp.elbo_sharded(res.params, xs, ys, cfg, mesh=m8,
+                                    weights=w))
+    np.testing.assert_allclose(float(res.elbo), exact, rtol=1e-4)
+
+
 def test_cli_svgp_multidevice(tmp_path, rng):
     """CLI --optimizer svgp on the local 8-device mesh (the hard-error on
     multi-device SVGP is lifted)."""

@@ -48,8 +48,12 @@ def main():
                           jnp.asarray(y_np), cfg)
 
     def run(mesh, xs, ys, weights, tag):
-        # warm (compile)
-        r = svgp.fit(p0, xs, ys, cfg, steps=2, learning_rate=1e-2,
+        # warm (compile) with the SAME step count: the scan length is baked
+        # into the compiled program, so a steps=2 warm-up leaves the timed
+        # steps=N call paying the full TPU compile (measured: that skew made
+        # the mesh=1 sharded path look 9x slower than plain in round 4's
+        # first capture).
+        r = svgp.fit(p0, xs, ys, cfg, steps=a.steps, learning_rate=1e-2,
                      mesh=mesh, weights=weights, key=jax.random.key(1))
         float(r.elbo)
         t0 = time.perf_counter()
