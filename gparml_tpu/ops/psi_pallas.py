@@ -1044,16 +1044,57 @@ def _flat_subtile(budget_tile: int) -> int:
 
 
 # Shared HARDWARE window for the whole flat-basis kernel family — row-major
-# (_use_flat) and (Q, N)-native (qn_native_ok) dispatch alike. ml=256
-# (M<=200) is proven on a real v5e up to N=1e7; ml=512 COMPILED but crashed
-# the TPU worker at N=1e7/M=500 (unreproduced — the chip went down before
-# the bisect landed). Until tools/qn_ml512_bisect.py proves ml in {384, 512}
-# on hardware, BOTH dispatches keep those shapes off the flat kernels
-# (row-major: the round-2-proven triangle/staircase kernels; transposed: the
-# XLA scan psi.suff_stats_t) — one risk policy, not two (ADVICE r3).
-# Interpret mode keeps the full capability window (_FLAT_ML_LIMIT) so CPU
-# parity tests cover every sub-tile ladder.
-_FLAT_ML_HW_LIMIT = 256
+# (_use_flat) and (Q, N)-native (qn_native_ok) dispatch alike; one risk
+# policy, not two (ADVICE r3). History: ml=256 was proven on a real v5e up
+# to N=1e7 in round 3; ml=512 compiled but crashed the TPU worker at
+# N=1e7/M=500 and was quarantined at 256. Round-4 hardware session
+# (2026-08-19, v5e): tools/qn_ml512_bisect.py walked ml in {384, 512},
+# fwd then fwd+bwd, N 4096 -> 4e6 — all stages pass — but the follow-up
+# N=1e7/M=500 run crashed the worker AGAIN minutes later on the same chip
+# (jax UNAVAILABLE "TPU worker process crashed ... kernel fault"). So the
+# crash is REAL and N-scale-dependent, not transient infrastructure: the
+# wide shapes are sound per call up to the bisect-proven N, and the failing
+# quantity appears only somewhere in N-per-call (4e6, 1e7]. The window is
+# therefore lifted to the capability limit AND paired with the per-call
+# N caps below (_FLAT_N_PER_CALL_*): suff_stats/suff_stats_t accumulate the
+# kernel over N-chunks so no single pallas_call ever exceeds a
+# hardware-proven (N, Ml) point. Interpret mode keeps the full capability
+# window (_FLAT_ML_LIMIT) so CPU parity tests cover every sub-tile ladder
+# either way.
+_FLAT_ML_HW_LIMIT = 512
+
+# Per-pallas_call N caps for the hardware window. Proven points on a v5e
+# (round 3 + 2026-08-19): (N=1e7, Ml<=256) and (N=4e6, Ml in {384, 512});
+# N=1e7 at Ml=512 crashed the TPU worker in BOTH rounds (reproduced). The
+# failing quantity is unidentified — the inputs' HBM footprint is
+# Ml-independent in the qn layout, and grid-step counts overlap between
+# passing and failing shapes — so the guard is empirical: cap the rows any
+# single call sees at the proven point for its Ml class; above it,
+# suff_stats/suff_stats_t accumulate equal N-chunks with lax.scan. Exact:
+# both outputs are plain sums over N and chunk-padding rows carry w=0 (the
+# _pad_inputs contract, tested to 0 ulp). Cost at (1e7, 512): 3 chunks, two
+# extra (m, d) + (m, m) adds and one compact HBM re-layout.
+_FLAT_N_PER_CALL_NARROW = 10_000_000
+_FLAT_N_PER_CALL_WIDE = 4_000_000
+_CHUNK_GRANULE = 1024   # rows-per-chunk granularity (tests patch this down)
+
+
+def _chunk_plan(n: int, ml: int):
+    """(num_chunks, rows_per_chunk) when n exceeds the per-call hardware
+    cap for this Ml class; None when one call is proven safe. Applies in
+    interpret mode too (chunking is exact, and CPU test shapes never reach
+    the caps); parity tests monkeypatch the caps to exercise the chunked
+    path at test scale."""
+    cap = _FLAT_N_PER_CALL_NARROW if ml <= 256 else _FLAT_N_PER_CALL_WIDE
+    if n <= cap:
+        return None
+    g = _CHUNK_GRANULE
+    nb = -(-n // cap)                    # ceil(n / cap) chunks
+    block = _round_up(-(-n // nb), g)    # equal rows per chunk
+    if block > cap:                      # granule-rounding overshot the cap
+        nb += 1
+        block = _round_up(-(-n // nb), g)
+    return nb, block
 
 
 def _use_flat(ml: int, q: int, interpret: bool) -> bool:
@@ -1551,6 +1592,75 @@ def _psi_fused_t_bwd(tile, interpret, res, cots):
 psi_fused_t.defvjp(_psi_fused_t_fwd, _psi_fused_t_bwd)
 
 
+def _psi_fused_chunked(mu, s, z, sf2, alpha, yw, w, tile, interpret, plan):
+    """Accumulate psi_fused over equal N-chunks (row-major layout) so no
+    single pallas_call exceeds the hardware-proven per-call N for its Ml
+    class (_chunk_plan). Chunk-padding rows follow the _pad_inputs
+    contract (mu/s ones, y/w zeros) and contribute exactly zero."""
+    nb, block = plan
+    n, q = mu.shape
+    m = z.shape[0]
+    d = yw.shape[1]
+    npad = nb * block
+    if npad != n:
+        pad = npad - n
+        ones = jnp.ones((pad, q), mu.dtype)
+        mu = jnp.concatenate([mu, ones], 0)
+        s = jnp.concatenate([s, ones], 0)
+        yw = jnp.concatenate([yw, jnp.zeros((pad, d), yw.dtype)], 0)
+        w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)], 0)
+    xs = (
+        mu.reshape(nb, block, q),
+        s.reshape(nb, block, q),
+        yw.reshape(nb, block, d),
+        w.reshape(nb, block),
+    )
+
+    def body(carry, x):
+        mu_b, s_b, yw_b, w_b = x
+        a, b = psi_fused(mu_b, s_b, z, sf2, alpha, yw_b, w_b, tile, interpret)
+        return (carry[0] + a, carry[1] + b), None
+
+    init = (jnp.zeros((m, d), mu.dtype), jnp.zeros((m, m), mu.dtype))
+    (p1y, p2), _ = jax.lax.scan(body, init, xs)
+    return p1y, p2
+
+
+def _psi_fused_t_chunked(mu_t, s_t, z, sf2, alpha, yw_t, w, tile, interpret,
+                         plan):
+    """(Q, N)-layout twin of _psi_fused_chunked: chunks slice axis 1, the
+    (nb, Q, block) re-layout is ONE compact HBM copy (never an (N, small)
+    lane-padded array — the layout's invariant holds through the scan)."""
+    nb, block = plan
+    q, n = mu_t.shape
+    m = z.shape[0]
+    d = yw_t.shape[0]
+    npad = nb * block
+    if npad != n:
+        pad = npad - n
+        ones = jnp.ones((q, pad), mu_t.dtype)
+        mu_t = jnp.concatenate([mu_t, ones], 1)
+        s_t = jnp.concatenate([s_t, ones], 1)
+        yw_t = jnp.concatenate([yw_t, jnp.zeros((d, pad), yw_t.dtype)], 1)
+        w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)], 0)
+    xs = (
+        jnp.swapaxes(mu_t.reshape(q, nb, block), 0, 1),
+        jnp.swapaxes(s_t.reshape(q, nb, block), 0, 1),
+        jnp.swapaxes(yw_t.reshape(d, nb, block), 0, 1),
+        w.reshape(nb, block),
+    )
+
+    def body(carry, x):
+        mu_b, s_b, yw_b, w_b = x
+        a, b = psi_fused_t(mu_b, s_b, z, sf2, alpha, yw_b, w_b, tile,
+                           interpret)
+        return (carry[0] + a, carry[1] + b), None
+
+    init = (jnp.zeros((m, d), mu_t.dtype), jnp.zeros((m, m), mu_t.dtype))
+    (p1y, p2), _ = jax.lax.scan(body, init, xs)
+    return p1y, p2
+
+
 def suff_stats_t(
     y_t, mu_t, s_t, z, sf2, alpha,
     weights=None, tile: int = 32, interpret: bool = None,
@@ -1574,8 +1684,13 @@ def suff_stats_t(
     kl = 0.5 * jnp.sum(
         jnp.sum(mu_t * mu_t + s_t - jnp.log(s_t) - 1.0, axis=0) * w)
     if qn_native_ok(z.shape[0], mu_t.shape[0], interpret):
-        p1y, p2 = psi_fused_t(mu_t, s_t, z, sf2, alpha, y_t, w, tile,
-                              interpret)
+        plan = _chunk_plan(n, _m_dims(z.shape[0])[1])
+        if plan is None:
+            p1y, p2 = psi_fused_t(mu_t, s_t, z, sf2, alpha, y_t, w, tile,
+                                  interpret)
+        else:
+            p1y, p2 = _psi_fused_t_chunked(mu_t, s_t, z, sf2, alpha, y_t, w,
+                                           tile, interpret, plan)
     else:
         p1y, p2 = psi_fused(mu_t.T, s_t.T, z, sf2, alpha, y_t.T, w, tile,
                             interpret)
@@ -1602,5 +1717,10 @@ def suff_stats(
     yy = jnp.sum((y * y) * w[:, None])
     psi0 = n_f * sf2
     kl = kl_qp(mu, s, weights)
-    p1y, p2 = psi_fused(mu, s, z, sf2, alpha, y, w, tile, interpret)
+    plan = _chunk_plan(n, _m_dims(z.shape[0])[1])
+    if plan is None:
+        p1y, p2 = psi_fused(mu, s, z, sf2, alpha, y, w, tile, interpret)
+    else:
+        p1y, p2 = _psi_fused_chunked(mu, s, z, sf2, alpha, y, w, tile,
+                                     interpret, plan)
     return SufficientStats(psi0, p1y, p2, yy, kl, n_f)

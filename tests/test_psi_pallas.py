@@ -166,9 +166,10 @@ def test_sgpr_mode_rejected(rng):
 def test_flat_dispatch_shares_one_hardware_window():
     """ADVICE r3: row-major (_use_flat) and transposed (qn_native_ok)
     dispatch must apply ONE hardware risk policy for the flat-basis kernel
-    family — ml in {384, 512} stays off the flat kernels on real hardware
-    (unproven after the ml=512 worker crash) while interpret mode keeps the
-    full capability window for CPU parity."""
+    family. Round 4 lifted the window to ml=512 (bisect-proven fwd+bwd to
+    N=4e6 per call) and moved the residual risk into the per-call N caps
+    (_chunk_plan) — both dispatches must still agree exactly, and interpret
+    mode keeps the full capability window for CPU parity."""
     q = 3
     for ml in (256, 384, 512):
         on_hw = psi_pallas._use_flat(ml, q, interpret=False)
@@ -177,3 +178,58 @@ def test_flat_dispatch_shares_one_hardware_window():
         assert psi_pallas.qn_native_ok(ml, q, interpret=False) == on_hw, ml
         assert psi_pallas._use_flat(ml, q, interpret=True), ml
         assert psi_pallas.qn_native_ok(ml, q, interpret=True), ml
+
+
+def test_chunk_plan_respects_caps(monkeypatch):
+    """Every plan keeps rows-per-call at or under the hardware-proven cap
+    for its Ml class, covers n, and uses equal granule-aligned chunks."""
+    monkeypatch.setattr(psi_pallas, "_CHUNK_GRANULE", 8)
+    monkeypatch.setattr(psi_pallas, "_FLAT_N_PER_CALL_NARROW", 64)
+    monkeypatch.setattr(psi_pallas, "_FLAT_N_PER_CALL_WIDE", 24)
+    assert psi_pallas._chunk_plan(64, 256) is None
+    assert psi_pallas._chunk_plan(24, 512) is None
+    for n in (65, 100, 129, 1000):
+        for ml, cap in ((256, 64), (384, 24), (512, 24)):
+            nb, block = psi_pallas._chunk_plan(n, ml)
+            assert block <= cap, (n, ml)
+            assert nb * block >= n, (n, ml)
+            assert block % 8 == 0, (n, ml)
+
+
+def test_chunked_stats_match_single_call(rng, monkeypatch):
+    """Forcing tiny per-call N caps must leave suff_stats/suff_stats_t
+    values AND gradients unchanged (the N=1e7/M=500 worker-crash guard is
+    exact: stats are sums over N, chunk padding carries w=0). m=130 so
+    ml=256 — both the row-major flat dispatch and the (Q, N)-native route
+    (qn_native_ok needs ml >= 256) take their chunked drivers."""
+    y, mu, s, z, sf2, alpha = _inputs(rng, n=40, d=3, q=2, m=130)
+
+    def objectives():
+        def f_row(mu, s):
+            st = psi_pallas.suff_stats(y, mu, s, z, sf2, alpha, tile=8,
+                                       interpret=True)
+            return jnp.sum(st.psi2) * 0.1 + jnp.sum(st.psi1_y) + st.kl
+
+        def f_t(mu_t, s_t):
+            st = psi_pallas.suff_stats_t(y.T, mu_t, s_t, z, sf2, alpha,
+                                         tile=8, interpret=True)
+            return jnp.sum(st.psi2) * 0.1 + jnp.sum(st.psi1_y) + st.kl
+
+        vr = jax.value_and_grad(f_row, argnums=(0, 1))(mu, s)
+        vt = jax.value_and_grad(f_t, argnums=(0, 1))(mu.T, s.T)
+        return vr, vt
+
+    (f0, g0), (ft0, gt0) = objectives()
+    monkeypatch.setattr(psi_pallas, "_CHUNK_GRANULE", 8)
+    monkeypatch.setattr(psi_pallas, "_FLAT_N_PER_CALL_NARROW", 16)
+    monkeypatch.setattr(psi_pallas, "_FLAT_N_PER_CALL_WIDE", 16)
+    assert psi_pallas._chunk_plan(40, 256) == (3, 16)
+    (f1, g1), (ft1, gt1) = objectives()
+    np.testing.assert_allclose(float(f1), float(f0), rtol=2e-6)
+    np.testing.assert_allclose(float(ft1), float(ft0), rtol=2e-6)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6)
+    for a, b in zip(gt1, gt0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6)

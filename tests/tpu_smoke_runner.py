@@ -45,11 +45,11 @@ def main() -> int:
     F = jnp.float32
     failures = []
     # M=200 hits the flat-basis fwd+bwd (the production path); M=512 the
-    # largest staircase/triangle shape inside _STAIR_ML_LIMIT (the flat
-    # kernels only re-take this shape when _FLAT_ML_HW_LIMIT is lifted to
-    # 512 after the bisect); M=640 the lane-chunked full-square fallback;
-    # Q=44 the triangle-forward + staircase-backward pair at small M
-    # (3Q+2 > 128 disables the flat basis).
+    # top of the flat hardware window since round 4's bisect lifted
+    # _FLAT_ML_HW_LIMIT to 512 (per-call N is capped separately —
+    # psi_pallas._FLAT_N_PER_CALL_WIDE); M=640 the lane-chunked full-square
+    # fallback; Q=44 the triangle-forward + staircase-backward pair at
+    # small M (3Q+2 > 128 disables the flat basis).
     for n, m, q, d in ((64, 200, 10, 12), (24, 512, 10, 12),
                        (16, 640, 10, 12), (24, 256, 44, 4)):
         rng = np.random.default_rng(m)
@@ -96,9 +96,10 @@ def main() -> int:
         if m in (200, 512) and psi_pallas.qn_native_ok(m, q, interpret=False):
             # The (Q, N)-native kernels (single-chip large-N path) must also
             # survive the real Mosaic compile and match, across the flat
-            # window's sub-tile ladder. M=512 only re-enters when
-            # _FLAT_ML_HW_LIMIT is lifted (the ml=512 transposed kernel is
-            # quarantined after a worker crash at N=1e7 — psi_pallas.py).
+            # window's sub-tile ladder. M=512 is inside the hardware window
+            # since the round-4 bisect; its N-scale risk is handled by the
+            # per-call N caps in psi_pallas (worker crash at N=1e7/M=500,
+            # reproduced twice, never below N-per-call 4e6).
             vq, gq = obj(qn_fn)
             if not np.isclose(float(vq), float(vx), rtol=2e-4):
                 failures.append(f"M={m} qn: value {float(vq)} vs {float(vx)}")

@@ -14,13 +14,24 @@ Each stage prints PASS/value before moving on; a worker crash identifies
 the failing (ml, direction, N) combination. If all stages pass, raise
 psi_pallas._FLAT_ML_HW_LIMIT to 512 and re-run tests/tpu_smoke_runner.py
 (which then re-enables the M=512 qn parity case automatically).
+
+OUTCOME (v5e, 2026-08-19): all stages PASS — ml in {384, 512} fwd+bwd are
+sound up to N=4e6 per call — but the follow-up N=1e7/M=500 run crashed the
+worker AGAIN (same jax UNAVAILABLE "kernel fault" as round 3). The window
+was lifted to 512 and the residual N-scale risk is handled by per-call N
+caps + chunked accumulation in psi_pallas (_FLAT_N_PER_CALL_WIDE); this
+script deliberately keeps calling the RAW psi_fused_t (no chunking) so it
+remains a probe of the true per-call hardware limit.
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
