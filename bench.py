@@ -147,15 +147,10 @@ def main():
         # put the failure in the record where the judge reads it.
         _no_hardware_record(f"both engines failed at bench scale: {errors}")
 
-    impl_best = min(results, key=results.get)
-    dt = results[impl_best]
-    evals_per_sec = 1.0 / dt
-
     # Psi-stats FLOP model (BASELINE.md "tracked metrics"): the fused
     # bound+grad eval does the O(N·M²·Q) Psi2 chain twice (fwd + bwd remat),
     # ~2(Q+2) flops per (n, m, m') cell plus one transcendental each pass.
     flops = 2 * n * m * m * (2 * (q + 2))
-    gflops = flops / dt / 1e9
 
     # Config-5 scale datapoint: M=500 at N=1e5 (same kernel, lane-boundary
     # tile path), pallas engine only.
@@ -172,21 +167,31 @@ def main():
               file=sys.stderr)
         m500 = {"m500_n1e5_sec": None}
 
-    # Transposed-layout datapoint (single device only): the adopted
-    # single-chip large-N path — (Q, N)-native kernels at the north-star
-    # shape (docs/DESIGN.md §5). Guarded: a failure reports null rather
-    # than killing the bench.
+    # Transposed-layout engine (single device only): the adopted single-chip
+    # large-N path — (Q, N)-native kernels at the north-star shape
+    # (docs/DESIGN.md §5). Same statistics, bound, and gradients as the
+    # row-major engines (parity-tested in tests/test_psi_qn.py and the
+    # hardware smoke gate), so it competes for the headline; measured
+    # ~1-2% faster than row-major pallas (12.8x less mu/s/y HBM traffic).
+    # Guarded: a failure reports null rather than killing the bench.
     qn = {}
     if mesh is None:
         try:
             qn_dt = measure_shape(jax, jnp, n=n, m=m, q=q, d=d,
                                   dtype=dtype, layout="qn")
             qn = {"qn_n1e6_sec": round(qn_dt, 4)}
+            results["pallas_qn"] = qn_dt
         except Exception as e:
             import sys
             print(f"qn measurement failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
             qn = {"qn_n1e6_sec": None}
+            errors["pallas_qn"] = f"{type(e).__name__}: {e}"
+
+    impl_best = min(results, key=results.get)
+    dt = results[impl_best]
+    evals_per_sec = 1.0 / dt
+    gflops = flops / dt / 1e9
 
     detail = ", ".join(f"{k}={v:.3f}s" for k, v in sorted(results.items()))
     print(

@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace-timing", action="store_true",
                    help="record REAL per-iteration wall times (adds a host "
                         "callback per iteration; history rows gain a wall_s column)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace (Perfetto/XProf) of the "
+                        "fit into DIR (reference analog: per-pass wall-clock "
+                        "prints, SURVEY §5 tracing row; here you get the full "
+                        "XLA op/kernel timeline instead)")
     p.add_argument("--save-partitions", type=int, default=None,
                    help="partition count for saved embeddings (default: match input)")
     return p
@@ -106,6 +111,20 @@ def _maybe_iter_timer(options):
         from gparml_tpu.utils import logging as glog
 
         return glog.iteration_timer()
+    return contextlib.nullcontext()
+
+
+def _maybe_profile(options):
+    """jax.profiler trace context when --profile DIR is set, else a no-op.
+    (Multi-host runs: each process records its own devices; the profiler
+    names trace files by host, so a shared DIR is safe.)"""
+    import contextlib
+
+    log_dir = getattr(options, "profile", None)
+    if log_dir:
+        from gparml_tpu.utils import logging as glog
+
+        return glog.trace(log_dir)
     return contextlib.nullcontext()
 
 
@@ -251,9 +270,11 @@ def run(options) -> dict:
                 y, x, weights = mesh_lib.shard_data(mesh, np.asarray(y), np.asarray(x))
             timer.stop("init")
             timer.start("fit")
-            vres = svgp_mod.fit(v0, x, y, vcfg, steps=options.iterations,
-                                learning_rate=options.learning_rate,
-                                mesh=mesh, weights=weights)
+            with _maybe_profile(options):
+                vres = svgp_mod.fit(v0, x, y, vcfg, steps=options.iterations,
+                                    learning_rate=options.learning_rate,
+                                    mesh=mesh, weights=weights)
+                float(vres.elbo)  # sync so the trace covers the whole fit
             timer.stop("fit")
             summary = {
                 "mode": "svgp", "n": n, "d": d, "m": options.m,
@@ -309,7 +330,7 @@ def run(options) -> dict:
         timer.stop("init")
         timer.start("fit")
         scg_options = _scg_options(options)
-        with _maybe_iter_timer(options) as it_timer:
+        with _maybe_profile(options), _maybe_iter_timer(options) as it_timer:
             result = sgpr.fit(
                 g0, x, y, scfg, iters=options.iterations,
                 optimizer=options.optimizer, learning_rate=options.learning_rate,
@@ -459,7 +480,7 @@ def run(options) -> dict:
     # ---- fit ----
     timer.start("fit")
     scg_options = _scg_options(options)
-    with _maybe_iter_timer(options) as it_timer:
+    with _maybe_profile(options), _maybe_iter_timer(options) as it_timer:
         result = gplvm.fit(
             params, y, cfg,
             iters=options.iterations,

@@ -277,3 +277,23 @@ def test_cli_trace_timing_wall_column(tmp_path, rng):
     # stamps are real per-iteration clocks, not a uniform average
     walls = {row["wall_s"] for row in lines}
     assert len(walls) >= min(2, len(lines))
+
+
+def test_cli_profile_writes_trace(tmp_path, rng):
+    """--profile DIR: a jax.profiler (Perfetto/XProf) trace of the fit lands
+    in DIR (SURVEY §5 tracing row — the TPU-native upgrade of the
+    reference's per-pass wall-clock prints)."""
+    from gparml_tpu import cli
+
+    y, _ = data.synthetic_gplvm(n=40, d=4, q_true=1, seed=3)
+    inputs = tmp_path / "inputs"
+    trace_dir = tmp_path / "trace"
+    data.save_partitioned(str(inputs), y, 2, prefix="Y")
+    summary = cli.main([
+        "-i", str(inputs), "-e", str(tmp_path / "emb"),
+        "-s", str(tmp_path / "statistics"),
+        "-T", "3", "-q", "2", "-m", "5", "--profile", str(trace_dir),
+    ])
+    assert np.isfinite(summary["final_bound"])
+    produced = [p for p in trace_dir.rglob("*") if p.is_file()]
+    assert produced, "profiler trace directory is empty"
