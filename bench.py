@@ -135,17 +135,36 @@ def main():
             msg = (str(e).splitlines() or ["<no message>"])[0][:200]
             errors[impl] = f"{type(e).__name__}: {msg}"
 
+    # Transposed-layout engine (single device only): the adopted single-chip
+    # large-N path — (Q, N)-native kernels at the north-star shape
+    # (docs/DESIGN.md §5). Same statistics, bound, and gradients as the
+    # row-major engines (parity-tested in tests/test_psi_qn.py and the
+    # hardware smoke gate), so it competes for the headline. Measured BEFORE
+    # the aggregated failure report so all engines share one error channel,
+    # and with the same protocol (warmup + min of 4 reps) as measure().
+    qn = {}
+    if mesh is None:
+        try:
+            qn_dt = measure_shape(jax, jnp, n=n, m=m, q=q, d=d,
+                                  dtype=dtype, layout="qn")
+            qn = {"qn_n1e6_sec": round(qn_dt, 4)}
+            results["pallas_qn"] = qn_dt
+        except Exception as e:
+            msg = (str(e).splitlines() or ["<no message>"])[0][:200]
+            qn = {"qn_n1e6_sec": None}
+            errors["pallas_qn"] = f"{type(e).__name__}: {msg}"
+
     if errors:
         # Even a SINGLE engine failing at bench scale is a flagship-path
         # regression the small-N smoke gate cannot catch — always loud.
         print(f"bench: engine failure(s) at bench scale: {errors}",
               file=sys.stderr)
     if not results:
-        # Both engines failed AFTER the kernel smoke passed: an N=1e6-scale
+        # All engines failed AFTER the kernel smoke passed: an N=1e6-scale
         # infra/memory failure, not a parity bug. Keep the one-line JSON
         # contract (a bare exception here cost round 3 its artifact) and
         # put the failure in the record where the judge reads it.
-        _no_hardware_record(f"both engines failed at bench scale: {errors}")
+        _no_hardware_record(f"all engines failed at bench scale: {errors}")
 
     # Psi-stats FLOP model (BASELINE.md "tracked metrics"): the fused
     # bound+grad eval does the O(N·M²·Q) Psi2 chain twice (fwd + bwd remat),
@@ -167,31 +186,11 @@ def main():
               file=sys.stderr)
         m500 = {"m500_n1e5_sec": None}
 
-    # Transposed-layout engine (single device only): the adopted single-chip
-    # large-N path — (Q, N)-native kernels at the north-star shape
-    # (docs/DESIGN.md §5). Same statistics, bound, and gradients as the
-    # row-major engines (parity-tested in tests/test_psi_qn.py and the
-    # hardware smoke gate), so it competes for the headline; measured
-    # ~1-2% faster than row-major pallas (12.8x less mu/s/y HBM traffic).
-    # Guarded: a failure reports null rather than killing the bench.
-    qn = {}
-    if mesh is None:
-        try:
-            qn_dt = measure_shape(jax, jnp, n=n, m=m, q=q, d=d,
-                                  dtype=dtype, layout="qn")
-            qn = {"qn_n1e6_sec": round(qn_dt, 4)}
-            results["pallas_qn"] = qn_dt
-        except Exception as e:
-            import sys
-            print(f"qn measurement failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            qn = {"qn_n1e6_sec": None}
-            errors["pallas_qn"] = f"{type(e).__name__}: {e}"
-
     impl_best = min(results, key=results.get)
     dt = results[impl_best]
     evals_per_sec = 1.0 / dt
     gflops = flops / dt / 1e9
+    mfu = _mfu(devs[0], gflops, len(devs))
 
     detail = ", ".join(f"{k}={v:.3f}s" for k, v in sorted(results.items()))
     print(
@@ -205,12 +204,40 @@ def main():
                 "unit": "evals/sec",
                 "vs_baseline": round(evals_per_sec / 1.0, 4),
                 "psi_gflops": round(gflops, 1),
+                **mfu,
                 **m500,
                 **qn,
                 **({"engine_errors": errors} if errors else {}),
             }
         )
     )
+
+
+# Per-chip dense bf16 peak (TFLOP/s) by jax device_kind, for the mfu key
+# (VERDICT r4 item 8). Semantics: mfu = psi-model-FLOPs/s divided by the
+# TOTAL bf16 MXU peak of the devices used — a cross-generation comparability
+# number, NOT a kernel-efficiency claim (the psi kernel is VPU/exp2- and
+# traffic-bound by design; see docs/DESIGN.md §3 roofline). Values are the
+# public per-chip datasheet numbers.
+_PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5": 459.0,        # v5p
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,   # v6e / Trillium
+    "TPU v6e": 918.0,
+}
+
+
+def _mfu(dev, gflops: float, n_devices: int) -> dict:
+    peak_tf = _PEAK_BF16_TFLOPS.get(getattr(dev, "device_kind", ""), None)
+    if peak_tf is None:
+        return {"mfu": None, "peak_bf16_tflops": None}
+    total_peak = peak_tf * n_devices
+    return {
+        "mfu": round(gflops / 1e3 / total_peak, 5),
+        "peak_bf16_tflops": total_peak,
+    }
 
 
 def measure_shape(jax, jnp, n, m, q, d, dtype, layout="nq"):
@@ -253,7 +280,9 @@ def measure_shape(jax, jnp, n, m, q, d, dtype, layout="nq"):
     out = eval_once(params, y)
     float(out[0])
     times = []
-    for i in range(3):
+    # min of 4 reps — identical protocol to measure(), so every headline
+    # candidate is compared under the same measurement (ADVICE r4).
+    for i in range(4):
         g = params.glob._replace(u_beta=params.glob.u_beta + np.float32((i + 1) * 1e-3))
         p_i = params._replace(glob=g)
         t0 = time.perf_counter()
