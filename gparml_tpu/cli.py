@@ -279,7 +279,12 @@ def run(options) -> dict:
             summary = {
                 "mode": "svgp", "n": n, "d": d, "m": options.m,
                 "iterations": options.iterations, "batch_size": vcfg.batch_size,
-                "final_elbo": float(vres.elbo), "devices": len(jax.devices()),
+                "final_elbo": float(vres.elbo),
+                # estimator provenance: exact full-data ELBO vs unbiased
+                # subset estimate over elbo_n rows (svgp._EXACT_ELBO_MAX_N)
+                "final_elbo_exact": bool(vres.elbo_exact),
+                "final_elbo_n": int(vres.elbo_n),
+                "devices": len(jax.devices()),
                 "parallel": options.parallel,
                 "wall_time_s": round(time.perf_counter() - t_start, 3),
             }

@@ -328,11 +328,14 @@ def infer_latents(
 
 
 def reconstruct(p: P.GPLVMParams, y_train, mu_star, s_star, config: GPLVMConfig,
-                mesh=None, weights=None):
+                mesh=None, weights=None, block: int = 1024):
     """Predictive mean/variance of y* given uncertain latents q(x*)
-    (Bayesian-GPLVM reconstruction through the Psi1 expectations)."""
+    (Bayesian-GPLVM reconstruction through the Psi1 expectations).
+    ``block`` bounds the variance computation's working set to
+    O(block*M^2) regardless of N* (ops/bound.predict_uncertain)."""
     z, sf2, alpha, beta = P.constrain(p.glob, config.bijector)
     stats = suff_stats(p, y_train, config, mesh=mesh, weights=weights)
     return bound_ops.predict_uncertain(
-        mu_star, s_star, stats, z, sf2, alpha, beta, jitter=config.jitter
+        mu_star, s_star, stats, z, sf2, alpha, beta, jitter=config.jitter,
+        block=block,
     )

@@ -32,6 +32,13 @@ from gparml_tpu.utils import init as init_utils
 
 _HALF_LOG_2PI = 0.9189385332046727417803297364056176
 
+# Above this many rows the final-ELBO report switches from the exact
+# full-data ELBO to an unbiased 4x-batch random-subset estimate (the exact
+# term costs O(N*M^2*D) through the (D, M, B) projection — measured 8 s on a
+# CPU host at N=2e5). FitResult.elbo_exact / .elbo_n record which estimator
+# produced `.elbo`.
+_EXACT_ELBO_MAX_N = 65536
+
 
 @dataclass(frozen=True)
 class SVGPConfig:
@@ -61,6 +68,13 @@ class FitResult(NamedTuple):
     elbo: jnp.ndarray
     history: jnp.ndarray
     n_evals: jnp.ndarray
+    # Final-ELBO estimator provenance (the estimator switches at
+    # _EXACT_ELBO_MAX_N rows — without these fields the switch is silent and
+    # `.elbo` across that threshold compares different estimators):
+    # elbo_exact — True: `elbo` is the exact full-data ELBO; False: an
+    # unbiased random-subset estimate. elbo_n — rows the estimate used.
+    elbo_exact: bool = True
+    elbo_n: int = 0
 
 
 def init_params(key, x, y, config: SVGPConfig) -> SVGPParams:
@@ -290,19 +304,24 @@ def fit(
     keys = jax.random.split(key, steps)
     (p, _), history = jax.lax.scan(step, (p0, opt.init(p0)), keys)
     # final ELBO report: full data if small, else an unbiased random subset
-    if n <= 65536:
+    # (FitResult.elbo_exact / .elbo_n make the estimator explicit)
+    if n <= _EXACT_ELBO_MAX_N:
         xf = x.T if n_ax == 1 else x
         yf = y.T if n_ax == 1 else y
         final = elbo(p, xf, yf, n, config)
+        elbo_exact, elbo_n = True, n
     else:
-        idx = jax.random.permutation(jax.random.key(1), n)[: 4 * b]
+        n_sub = 4 * b
+        idx = jax.random.permutation(jax.random.key(1), n)[:n_sub]
         xf = jnp.take(x, idx, axis=n_ax)
         yf = jnp.take(y, idx, axis=n_ax)
         if n_ax == 1:
             xf, yf = xf.T, yf.T
         final = elbo(p, xf, yf, n, config)
+        elbo_exact, elbo_n = False, n_sub
     return FitResult(params=p, elbo=final, history=history,
-                     n_evals=jnp.asarray(steps, jnp.int32))
+                     n_evals=jnp.asarray(steps, jnp.int32),
+                     elbo_exact=elbo_exact, elbo_n=elbo_n)
 
 
 def _fit_sharded(
@@ -405,8 +424,9 @@ def _fit_sharded(
     # and padded rows carry w=0, so the weighted prefix sum scaled by
     # n_local/l_sub estimates the full weighted data term exactly in
     # expectation.
-    if n_pad <= 65536:
+    if n_pad <= _EXACT_ELBO_MAX_N:
         final = elbo_sharded(p, x, y, config, mesh=mesh, weights=weights)
+        elbo_exact, elbo_n = True, n_pad
     else:
         l_sub = min(n_local, 4 * b_local)
         sub_scale = jnp.asarray(n_local / l_sub, y.dtype)
@@ -422,8 +442,10 @@ def _fit_sharded(
             in_specs=(p_specs, PS(ax), PS(ax), PS(ax)), out_specs=rep,
             check_vma=False,  # same policy as elbo_sharded
         )(p, x_ext, y_ext, w_ext)
+        elbo_exact, elbo_n = False, l_sub * k_dev
     return FitResult(params=p, elbo=final, history=history,
-                     n_evals=jnp.asarray(steps, jnp.int32))
+                     n_evals=jnp.asarray(steps, jnp.int32),
+                     elbo_exact=elbo_exact, elbo_n=elbo_n)
 
 
 def predict(p: SVGPParams, x_star, config: SVGPConfig):

@@ -199,6 +199,7 @@ def predict_uncertain(
     alpha,
     beta,
     jitter: float = 1e-6,
+    block: int = 1024,
 ):
     """Predictive mean/variance at UNCERTAIN inputs q(x*) = N(mu*, diag(s*))
     (the Bayesian-GPLVM reconstruction: expectations of the predictor under
@@ -207,6 +208,14 @@ def predict_uncertain(
       mean(y*) = beta * Psi1(x*) A^-1 Psi1^T Y
       var      = sf2 - tr((K_MM^-1 - A^-1) Psi2*) + 1/beta   (per output dim,
                  the standard first-moment variance approximation)
+
+    The per-point traces are Frobenius inner products against FIXED matrices,
+    tr(C Psi2*_n) = <C, Psi2*_n>_F with C in {K_MM^-1, A^-1}, so they need no
+    per-point solves: both inverses are formed once (each one M x M
+    triangular inversion + matmul) and a lax.scan over N*-blocks contracts
+    (block, M, M) Psi2 slabs against them — O(block*M^2) working set at any
+    N* (the previous vmap materialized all N* (M, M) slabs at once: ~10 GB
+    at M=500, N*=1e4).
     """
     from gparml_tpu.ops import psi as psi_ops
 
@@ -214,17 +223,41 @@ def predict_uncertain(
     p1s = psi_ops.psi1(mu_star, s_star, z, sf2, alpha)       # (N*, M)
     mean = beta * (p1s @ a_inv_psi1y)
 
-    # per-point Psi2* diag terms: tr(K_MM^-1 Psi2*_n) and tr(A^-1 Psi2*_n)
-    def per_point(mu_n, s_n):
-        p2n = psi_ops.psi2_sum(mu_n[None], s_n[None], z, sf2, alpha)  # (M, M)
-        t1 = solve_triangular(lm, p2n, lower=True)
-        c2 = solve_triangular(lm, t1.T, lower=True)          # K^-1-ish
-        tr_k = jnp.trace(c2)
-        t2 = solve_triangular(lb, solve_triangular(lm, p2n, lower=True), lower=True)
-        c3 = solve_triangular(lb, solve_triangular(lm, t2.T, lower=True), lower=True)
-        tr_a = jnp.trace(c3)
-        return tr_k, tr_a
+    m = z.shape[0]
+    lm_inv = solve_triangular(lm, jnp.eye(m, dtype=lm.dtype), lower=True)
+    c_k = jnp.matmul(lm_inv.T, lm_inv, precision="highest")   # K_MM^-1
+    wb = solve_triangular(lb, lm_inv, lower=True)             # LB^-1 Lm^-1
+    c_a = jnp.matmul(wb.T, wb, precision="highest")           # A^-1
 
-    tr_k, tr_a = jax.vmap(per_point)(mu_star, s_star)
+    n_star, q = mu_star.shape
+    b = min(block, n_star)
+    pad = (-n_star) % b
+    if pad:
+        # padded rows (mu=0, s=1) are valid psi2 inputs; their traces are
+        # computed and discarded below
+        mu_p = jnp.concatenate(
+            [mu_star, jnp.zeros((pad, q), mu_star.dtype)], axis=0)
+        s_p = jnp.concatenate(
+            [s_star, jnp.ones((pad, q), s_star.dtype)], axis=0)
+    else:
+        mu_p, s_p = mu_star, s_star
+    nb = mu_p.shape[0] // b
+
+    def body(_, xs):
+        mub, sb = xs
+        log_e0, const_n, v, c = psi_ops._psi2_pieces(mub, sb, z, sf2, alpha)
+        bq = jnp.einsum("nq,mq,pq->nmp", c, z, z, precision="highest")
+        p2 = jnp.exp(
+            const_n[:, None, None] + v[:, :, None] + v[:, None, :]
+            - 0.5 * bq + log_e0[None]
+        )                                                     # (b, M, M)
+        tr_k = jnp.einsum("nmp,mp->n", p2, c_k, precision="highest")
+        tr_a = jnp.einsum("nmp,mp->n", p2, c_a, precision="highest")
+        return None, (tr_k, tr_a)
+
+    _, (tr_k, tr_a) = jax.lax.scan(
+        body, None, (mu_p.reshape(nb, b, q), s_p.reshape(nb, b, q)))
+    tr_k = tr_k.reshape(-1)[:n_star]
+    tr_a = tr_a.reshape(-1)[:n_star]
     var_f = sf2 - tr_k + tr_a
     return mean, jnp.maximum(var_f, 0.0) + 1.0 / beta

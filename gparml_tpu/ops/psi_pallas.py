@@ -955,7 +955,8 @@ def psi_fused(mu, s, z, sf2, alpha, yw, w_arr, tile: int = 32,
 #      constants: on v4/v5p the kernels still run correctly but may use
 #      v5e-sized tiles (leaving headroom). Re-run
 #      tools/{flat_lab,kernel_lab,grid_lab}.py on the new generation and
-#      bump these together. Two more v5e-sized values of the same class
+#      bump these together (PALLAS_M_LIMIT below is in this class too).
+#      Two more v5e-sized values of the same class
 #      live OUTSIDE this block: the 18 MB vmem_limit_bytes CompilerParams
 #      override (a 2M bump over the v5e's 16M scoped-vmem default) and the
 #      min(tile, 64) triangle-mode N-tile cap — re-measure both too.
@@ -974,6 +975,12 @@ def psi_fused(mu, s, z, sf2, alpha, yw, w_arr, tile: int = 32,
 # v5e: forward keeps ~2 big f32 buffers live, backward ~3 f32 + 2 bf16.
 _FWD_BUDGET = 64 * 256 * 256
 _BWD_BUDGET = 32 * 256 * 256
+
+# Largest M any pallas engine accepts at all (class 1, measured on v5e:
+# M=640 compiles with the lane-chunked backward, M>=1024 does not — Mosaic
+# retains per-chunk temporaries). Beyond it the dispatchers
+# (parallel/stats.py, models/gplvm.py) fall back to the XLA scan engine.
+PALLAS_M_LIMIT = 640
 
 # Flat-basis kernels: largest Ml routed through them (beyond: staircase /
 # lane-chunked fallbacks), and per-path VMEM element budgets expressed as

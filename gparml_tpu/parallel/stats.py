@@ -29,10 +29,11 @@ from gparml_tpu.ops import psi_pallas
 from gparml_tpu.parallel.mesh import DATA_AXIS
 
 
-# Largest M the fused backward fits in scoped VMEM (measured on v5e: M=640
-# compiles with the lane-chunked kernel, M>=1024 does not — Mosaic retains
-# per-chunk temporaries). Beyond it the XLA scan engine takes over.
-_PALLAS_M_LIMIT = 640
+# Largest M the fused backward fits in scoped VMEM; beyond it the XLA scan
+# engine takes over. The value lives in psi_pallas's device-generation
+# calibration block (class 1 — re-measure when porting chip generations)
+# so there is ONE checklist of hardware-calibrated constants.
+_PALLAS_M_LIMIT = psi_pallas.PALLAS_M_LIMIT
 
 
 def _local_stats(y, mu, s, z, sf2, alpha, block, weights, impl, tile,

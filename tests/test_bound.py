@@ -130,6 +130,57 @@ def test_predict_uncertain_matches_monte_carlo(rng):
     assert np.all(np.asarray(var_u) > 1.0 / beta - 1e-9)
 
 
+def test_predict_uncertain_blocked_matches_per_point_solves(rng):
+    """The O(block*M^2) scan path (Frobenius contraction against precomputed
+    K_MM^-1 / A^-1) must match (a) itself at block >= N* and (b) an
+    independent per-point triangular-solve oracle, including at an N* that is
+    NOT a multiple of the block (padding discarded)."""
+    from jax.scipy.linalg import solve_triangular
+
+    from gparml_tpu.ops import bound, psi
+
+    n, d, q, m = 80, 2, 2, 12
+    x = rng.standard_normal((n, q))
+    y = np.tanh(x @ rng.standard_normal((q, d)))
+    z = rng.standard_normal((m, q))
+    sf2, beta = 1.0, 50.0
+    alpha = jnp.ones(q)
+    st = psi.suff_stats(jnp.asarray(y), jnp.asarray(x), None, jnp.asarray(z),
+                        sf2, alpha)
+
+    n_star = 23  # prime: exercises the padding remainder at block=8
+    mu_star = jnp.asarray(rng.standard_normal((n_star, q)))
+    s_star = jnp.asarray(0.1 + 0.4 * rng.random((n_star, q)))
+    zj = jnp.asarray(z)
+
+    mean_b, var_b = bound.predict_uncertain(
+        mu_star, s_star, st, zj, sf2, alpha, beta, block=8)
+    mean_1, var_1 = bound.predict_uncertain(
+        mu_star, s_star, st, zj, sf2, alpha, beta, block=4096)
+    np.testing.assert_allclose(np.asarray(mean_b), np.asarray(mean_1),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_1),
+                               rtol=1e-5)
+
+    # independent oracle: per-point (M, M) psi2 + triangular solves
+    lm, lb, _ = bound.posterior(st, zj, sf2, alpha, beta)
+
+    def per_point(mu_n, s_n):
+        p2n = psi.psi2_sum(mu_n[None], s_n[None], zj, sf2, alpha)
+        c2 = solve_triangular(
+            lm, solve_triangular(lm, p2n, lower=True).T, lower=True)
+        t2 = solve_triangular(lb, solve_triangular(lm, p2n, lower=True),
+                              lower=True)
+        c3 = solve_triangular(lb, solve_triangular(lm, t2.T, lower=True),
+                              lower=True)
+        return jnp.trace(c2), jnp.trace(c3)
+
+    tr_k, tr_a = jax.vmap(per_point)(mu_star, s_star)
+    var_oracle = jnp.maximum(sf2 - tr_k + tr_a, 0.0) + 1.0 / beta
+    np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_oracle),
+                               rtol=2e-4)
+
+
 def test_bound_invariant_to_inducing_permutation(rng):
     """Permuting the rows of Z must leave the bound exactly invariant (the
     math only sees the set of inducing points)."""

@@ -396,3 +396,34 @@ def test_gplvm_qn_xla_engine_transposes():
     np.testing.assert_allclose(
         float(gplvm.log_bound(p_nq, y, cfg_nq)),
         float(gplvm.log_bound(p_qn, y.T, cfg_qn)), rtol=1e-6)
+
+
+def test_mesh_rejects_qn_layout_all_families():
+    """mesh x layout='qn' is DEFINED at the API level for every model family
+    (VERDICT r4 item 6): the transposed layout is the single-chip large-N
+    affordance; the sharded path owns (N, Q) rows, so fit()/_stats raise a
+    ValueError naming the fallback instead of silently mis-sharding.
+    (SVGP's rejection is also pinned inside test_svgp_qn_matches_row_major.)"""
+    from gparml_tpu.models import sgpr, svgp
+    from gparml_tpu.parallel import mesh as mesh_lib
+
+    rng = np.random.default_rng(7)
+    n, d, q, m = 32, 2, 2, 6
+    y = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, q)), jnp.float32)
+    mesh2 = mesh_lib.make_mesh(2)
+
+    cfg_g = gplvm.GPLVMConfig(q=q, num_inducing=m, layout="qn", y_layout="dn")
+    p_g = gplvm.init_params(jax.random.key(0), y.T, cfg_g)
+    with pytest.raises(ValueError, match="layout='qn'"):
+        gplvm.fit(p_g, y.T, cfg_g, iters=1, mesh=mesh2)
+
+    cfg_s = sgpr.SGPRConfig(num_inducing=m, layout="qn")
+    g_s = sgpr.init_params(jax.random.key(0), x.T, y.T, cfg_s)
+    with pytest.raises(ValueError, match="layout='qn'"):
+        sgpr.fit(g_s, x.T, y.T, cfg_s, iters=1, mesh=mesh2)
+
+    cfg_v = svgp.SVGPConfig(num_inducing=m, layout="qn", batch_size=16)
+    p_v = svgp.init_params(jax.random.key(0), x.T, y.T, cfg_v)
+    with pytest.raises(ValueError, match="layout='qn'"):
+        svgp.fit(p_v, x.T, y.T, cfg_v, steps=1, mesh=mesh2)
