@@ -49,10 +49,15 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 
 
 def _sync(x):
-    return float(np.asarray(jax.tree.leaves(x)[0]).ravel()[0])
+    """Host read of ONE scalar. Under the axon tunnel, np.asarray of a big
+    output pays its full transfer — every timed function below must reduce
+    to a scalar in-graph so this fetch is O(1) bytes."""
+    leaf = jax.tree.leaves(x)[0]
+    return float(leaf if getattr(leaf, "ndim", 0) == 0
+                 else leaf[(0,) * leaf.ndim])
 
 
-def _time_best(fn, args, reps=4):
+def _time_best(fn, args, reps=4, overhead=0.0):
     out = fn(*args)
     _sync(out)
     best = float("inf")
@@ -61,20 +66,29 @@ def _time_best(fn, args, reps=4):
         out = fn(*args)
         _sync(out)
         best = min(best, time.perf_counter() - t0)
-    return best
+    return max(best - overhead, 1e-9)
+
+
+def measure_dispatch_overhead():
+    """Round-trip cost of one jit dispatch + scalar host read (the axon
+    tunnel's per-call latency) — subtracted from every microbench so the
+    rates measure compute, not transport."""
+    f = jax.jit(lambda s: s + 1.0)
+    return _time_best(f, (jnp.float32(1.0),), reps=8)
 
 
 # --------------------------------------------------------------------------
 # 1. primitive rates, measured in place
 # --------------------------------------------------------------------------
 
-def measure_vpu_rates():
+def measure_vpu_rates(overhead: float):
     """(exp2_elems_per_s, vpu_elementwise_ops_per_s). The loop bodies differ
     by exactly one exp2; both carry the same add+iota-scalar overhead, so the
-    time difference divided by the element count is the marginal exp2 cost."""
+    time difference divided by the element count is the marginal exp2 cost.
+    The pallas output reduces to one scalar in-graph (see _sync)."""
     from jax.experimental import pallas as pl
 
-    rows, cols, reps, grid = 512, 1024, 256, 8
+    rows, cols, reps, grid = 512, 1024, 512, 32
 
     def kern(x_ref, o_ref, *, use_exp2):
         x = x_ref[...]
@@ -97,7 +111,8 @@ def measure_vpu_rates():
             out_specs=pl.BlockSpec((rows, cols), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
         )
-        return _time_best(jax.jit(f), (x,), reps=6)
+        g = jax.jit(lambda x: jnp.sum(f(x)))
+        return _time_best(g, (x,), reps=6, overhead=overhead)
 
     elems = grid * rows * cols * reps
     t_exp = run(True)
@@ -108,20 +123,44 @@ def measure_vpu_rates():
     return exp2_rate, vpu_rate
 
 
-def measure_mxu_rate(k: int):
-    """Achievable bf16->f32 matmul rate at contraction depth k (the flat
-    kernel's rung depth), plus the full-K rate for reference."""
-    a = jnp.ones((8192, k), jnp.bfloat16)
-    b = jnp.ones((k, 8192), jnp.bfloat16)
+def measure_mxu_rate(k: int, overhead: float):
+    """Achievable bf16->f32 MXU rate at contraction depth k with
+    VMEM-resident accumulation — the flat kernel's actual matmul shape
+    ((tile, k) bf16 against (k, 256) bf16 rungs, f32 accumulator that never
+    leaves VMEM). A one-shot XLA matmul would measure HBM output bandwidth
+    instead (skinny-K matmuls are traffic-bound when the product is
+    written out)."""
+    from jax.experimental import pallas as pl
 
-    @jax.jit
-    def mm(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+    rows, cols, reps, grid = 256, 256, 512, 64
 
-    t = _time_best(mm, (a, b), reps=6)
-    return 2.0 * 8192 * 8192 * k / t
+    def kern(a_ref, b_ref, o_ref):
+        a = a_ref[...]
+        b = b_ref[...]
+
+        def body(i, acc):
+            aa = a + i.astype(jnp.bfloat16)   # defeat loop-invariant hoisting
+            return acc + jax.lax.dot_general(
+                aa, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        o_ref[...] = jax.lax.fori_loop(
+            0, reps, body, jnp.zeros((rows, cols), jnp.float32))
+
+    a = jnp.ones((rows, k), jnp.bfloat16)
+    b = jnp.ones((k, cols), jnp.bfloat16)
+    f = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((rows, k), lambda i: (0, 0)),
+                  pl.BlockSpec((k, cols), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((rows, cols), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+    )
+    g = jax.jit(lambda a, b: jnp.sum(f(a, b)))
+    t = _time_best(g, (a, b), reps=6, overhead=overhead)
+    return 2.0 * grid * reps * rows * cols * k / t
 
 
 # --------------------------------------------------------------------------
@@ -241,10 +280,11 @@ def main():
         print(json.dumps({"note": "no TPU backend; roofline needs hardware"}))
         return 3
 
-    exp2_rate, vpu_rate = measure_vpu_rates()
+    overhead = measure_dispatch_overhead()
+    exp2_rate, vpu_rate = measure_vpu_rates(overhead)
     fwd_c, bwd_c, meta = op_counts(a.n, a.m, a.q, a.d)
-    mxu_rate = measure_mxu_rate(meta["k3"])
-    mxu_rate_bwd = measure_mxu_rate(128)  # H contractions run at K=128
+    mxu_rate = measure_mxu_rate(meta["k3"], overhead)
+    mxu_rate_bwd = measure_mxu_rate(128, overhead)  # H contractions run at K=128
 
     t_fwd, t_vg, t_full = stage_times(a.n, a.m, a.q, a.d, a.layout)
     t_bwd = t_vg - t_fwd
