@@ -1,31 +1,40 @@
 """Roofline + per-stage timing for the north-star bound+grad evaluation
 (VERDICT r4 item 3): report fwd / bwd / bound-assembly wall times AND a
 computed distance-to-floor, with the floor built from THIS chip's measured
-primitive rates rather than datasheet guesses.
+primitive rates rather than datasheet guesses (MXU excepted — see below).
 
 NOT part of the package — a measurement harness. Prints one JSON object.
 
-Method
-------
-1. Micro-measure on the real chip:
-     * exp2 element rate  — a Pallas kernel timing `acc += exp2(x + i)`
-       minus the `acc += (x + i)` baseline (isolates the transcendental),
-     * VPU elementwise rate — the baseline loop itself (mul/add class),
-     * MXU rate at the kernel's actual contraction depth (K = 3*(3Q+2)
-       bf16 rungs -> one partially-filled 128-K tile).
-2. Count the flat-basis kernel's ops exactly from its structure
-   (ops/psi_pallas.py): per data point the staircase covers
-   cells = 128*S, S = sum_b (Ml - 128 b); forward does one exp2 per cell
-   (+ Ml for Psi1) and 2*(3K) flops/cell of MXU; backward recomputes the
-   forward slab, then pays the G-split (Veltkamp, ~4 VPU ops/cell) and the
-   H/mirror contractions (2*(2K'+K') flops/cell + mirror).
-3. Time the stages: psi forward alone, psi fwd+bwd (value_and_grad of a
-   scalarized loss over the kernel outputs), and the full bound+grad eval;
-   assembly = full - kernel vjp.
+Measurement methodology (hard-won; round-5 session)
+----------------------------------------------------
+* The axon tunnel's dispatch round trip is ~30 ms AND it dedupes a dispatch
+  identical to the immediately preceding one. Consequences: (a) every rep
+  must perturb its inputs, (b) any microbench whose kernel time is not >>
+  30 ms measures the tunnel, not the chip. All primitive rates below are
+  therefore LINEARITY SLOPES between two grid sizes (256 vs 1024 grid
+  steps, ~100 ms vs ~400 ms wall) — the intercept absorbs RTT + fixed
+  overhead exactly.
+* Measured this way on the v5e (2026-08-19):
+    - VPU ALU pipe: ~7.4-7.9e11 f32 vector instr/s (~0.8/lane/cycle,
+      single-issue; an 8-deep FMA chain and a 2-op streaming body give the
+      same INSTRUCTION rate, so it is issue-limited, not FLOP-limited).
+    - exp2 pipe: SEPARATE from the ALU pipe. One exp2 per >=2 ALU ops is
+      FREE (0->1 exp2 in a 2-op body: identical wall). Marginal rate for
+      additional exp2s: ~1.7e12/s.
+    - MXU: a fori-loop of small dots measures Mosaic issue overhead
+      (~1e12 flops/s at ANY K — 0.5% of peak — with bit-correct outputs),
+      and a one-shot XLA matmul at skinny K measures HBM writeback. Neither
+      is the rate the real kernel's pipelined slab dots achieve, so the MXU
+      floor uses the DATASHEET bf16 peak derated by K-tile fill
+      (min(k,128)/128) — an optimistic bound, which is the correct
+      direction for a floor.
+* Stage times subtract the measured RTT once (fwd); bwd and assembly are
+  differences of two dispatches, where RTT cancels.
 
-Floor semantics: per stage, floor_vpu = exp2/VPU work at measured rates,
-floor_mxu = flops at the measured K-limited MXU rate; the optimistic floor
-is max(floor_vpu, floor_mxu) (perfect overlap), the pessimistic is the sum.
+Floor semantics: per stage, time on each pipe (ALU, exp2-marginal, MXU,
+HBM) from structural op counts (hand-counted from ops/psi_pallas.py,
++-30%); floor_overlap = max over pipes (perfect overlap), floor_serial =
+sum. Real distance-to-floor lies between the two ratios.
 
 Usage: python tools/roofline.py [N] [M] [--layout qn|nq]
 """
@@ -33,7 +42,6 @@ Usage: python tools/roofline.py [N] [M] [--layout qn|nq]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 import time
@@ -47,6 +55,12 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
 
+# Single source for per-chip datasheet peaks (bench.py owns the table).
+from bench import _PEAK_BF16_TFLOPS
+
+_HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5p": 2765.0,
+             "TPU v5": 2765.0, "TPU v6 lite": 1640.0}
+
 
 def _sync(x):
     """Host read of ONE scalar. Under the axon tunnel, np.asarray of a big
@@ -57,117 +71,116 @@ def _sync(x):
                  else leaf[(0,) * leaf.ndim])
 
 
-def _time_best(fn, args, reps=4, overhead=0.0):
+def _time_best(fn, args, reps=4, perturb=None):
+    """perturb(args, i) -> fresh args for rep i (tunnel dedupe — see module
+    docstring). Perturbation cost stays untimed."""
     out = fn(*args)
     _sync(out)
     best = float("inf")
-    for _ in range(reps):
+    for i in range(reps):
+        a_i = perturb(args, i) if perturb is not None else args
+        jax.block_until_ready(a_i)
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(*a_i)
         _sync(out)
         best = min(best, time.perf_counter() - t0)
-    return max(best - overhead, 1e-9)
+    return best
 
 
-def measure_dispatch_overhead():
-    """Round-trip cost of one jit dispatch + scalar host read (the axon
-    tunnel's per-call latency) — subtracted from every microbench so the
-    rates measure compute, not transport."""
+def measure_rtt():
+    """Tunnel round trip: one trivial jit dispatch + scalar host read."""
     f = jax.jit(lambda s: s + 1.0)
-    return _time_best(f, (jnp.float32(1.0),), reps=8)
+    return _time_best(f, (jnp.float32(1.0),), reps=8,
+                      perturb=lambda a, i: (jnp.float32(1.0 + i),))
 
 
 # --------------------------------------------------------------------------
-# 1. primitive rates, measured in place
+# 1. primitive rates: linearity slopes between two grid sizes
 # --------------------------------------------------------------------------
 
-def measure_vpu_rates(overhead: float):
-    """(exp2_elems_per_s, vpu_elementwise_ops_per_s). The loop bodies differ
-    by exactly one exp2; both carry the same add+iota-scalar overhead, so the
-    time difference divided by the element count is the marginal exp2 cost.
-    The pallas output reduces to one scalar in-graph (see _sync)."""
+_ROWS, _COLS, _REPS = 512, 1024, 256
+_G1, _G2 = 256, 1024
+
+
+def _grid_kernel(body_fn, grid):
+    """Streaming pallas kernel: same input block, distinct (mod 8) output
+    blocks per grid step, `_REPS` fori iterations of `body_fn` per step."""
     from jax.experimental import pallas as pl
 
-    rows, cols, reps, grid = 512, 1024, 512, 32
-
-    def kern(x_ref, o_ref, *, use_exp2):
+    def kern(x_ref, o_ref):
         x = x_ref[...]
+        o_ref[...] = jax.lax.fori_loop(
+            0, _REPS, lambda i, acc: body_fn(i, acc, x),
+            jnp.zeros((_ROWS, _COLS), jnp.float32))
 
-        def body(i, acc):
+    f = pl.pallas_call(
+        kern, grid=(grid,),
+        in_specs=[pl.BlockSpec((_ROWS, _COLS), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((_ROWS, _COLS), lambda i: (i % 8, 0)),
+        out_shape=jax.ShapeDtypeStruct((8 * _ROWS, _COLS), jnp.float32))
+    return jax.jit(lambda x: jnp.sum(f(x)))
+
+
+def _slope_time(body_fn, x0):
+    """Per-grid-step seconds from the (G1, G2) linearity slope."""
+    pert = lambda a, i: (a[0] + np.float32(1e-4 * (i + 1)),)
+    t1 = _time_best(_grid_kernel(body_fn, _G1), (x0,), reps=3, perturb=pert)
+    t2 = _time_best(_grid_kernel(body_fn, _G2), (x0,), reps=3, perturb=pert)
+    return (t2 - t1) / (_G2 - _G1)
+
+
+def measure_vpu_rates():
+    """(alu_instr_per_s, exp2_marginal_per_s). ALU: a 2-op streaming body
+    (add + accumulate). exp2 marginal: slope between 1 and 3 exp2s per elem
+    (the FIRST exp2 rides free on the separate transcendental pipe)."""
+    x0 = jnp.linspace(0.0, 1.0, _ROWS * _COLS,
+                      dtype=jnp.float32).reshape(_ROWS, _COLS)
+
+    def base(i, acc, x):
+        return acc + (x + i.astype(jnp.float32))
+
+    def exp_n(n):
+        def body(i, acc, x):
             t = x + i.astype(jnp.float32)
-            if use_exp2:
+            for _ in range(n):
                 t = jnp.exp2(-t)
             return acc + t
+        return body
 
-        o_ref[...] = jax.lax.fori_loop(0, reps, body, jnp.zeros_like(x))
-
-    x = jnp.linspace(0.0, 1.0, rows * cols, dtype=jnp.float32).reshape(rows, cols)
-
-    def run(use_exp2):
-        f = pl.pallas_call(
-            functools.partial(kern, use_exp2=use_exp2),
-            grid=(grid,),
-            in_specs=[pl.BlockSpec((rows, cols), lambda i: (0, 0))],
-            out_specs=pl.BlockSpec((rows, cols), lambda i: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
-        )
-        g = jax.jit(lambda x: jnp.sum(f(x)))
-        return _time_best(g, (x,), reps=6, overhead=overhead)
-
-    elems = grid * rows * cols * reps
-    t_exp = run(True)
-    t_base = run(False)
-    # baseline body = add + add (2 ops/elem); exp2 marginal = t_exp - t_base
-    vpu_rate = 2 * elems / t_base
-    exp2_rate = elems / max(t_exp - t_base, 1e-9)
-    return exp2_rate, vpu_rate
+    elems_per_step = _ROWS * _COLS * _REPS
+    t_base = _slope_time(base, x0)
+    t_e1 = _slope_time(exp_n(1), x0)
+    t_e3 = _slope_time(exp_n(3), x0)
+    alu_rate = 2 * elems_per_step / t_base
+    exp2_rate = 2 * elems_per_step / max(t_e3 - t_e1, 1e-12)
+    free_first = (t_e1 - t_base) / t_base  # ~0: first exp2 overlaps
+    return alu_rate, exp2_rate, free_first
 
 
-def measure_mxu_rate(k: int, overhead: float):
-    """Achievable bf16->f32 MXU rate at contraction depth k with
-    VMEM-resident accumulation — the flat kernel's actual matmul shape
-    ((tile, k) bf16 against (k, 256) bf16 rungs, f32 accumulator that never
-    leaves VMEM). A one-shot XLA matmul would measure HBM output bandwidth
-    instead (skinny-K matmuls are traffic-bound when the product is
-    written out)."""
-    from jax.experimental import pallas as pl
-
-    rows, cols, reps, grid = 256, 256, 512, 64
-
-    def kern(a_ref, b_ref, o_ref):
-        a = a_ref[...]
-        b = b_ref[...]
-
-        def body(i, acc):
-            aa = a + i.astype(jnp.bfloat16)   # defeat loop-invariant hoisting
-            return acc + jax.lax.dot_general(
-                aa, b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-        o_ref[...] = jax.lax.fori_loop(
-            0, reps, body, jnp.zeros((rows, cols), jnp.float32))
-
-    a = jnp.ones((rows, k), jnp.bfloat16)
-    b = jnp.ones((k, cols), jnp.bfloat16)
-    f = pl.pallas_call(
-        kern,
-        grid=(grid,),
-        in_specs=[pl.BlockSpec((rows, k), lambda i: (0, 0)),
-                  pl.BlockSpec((k, cols), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((rows, cols), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
-    )
-    g = jax.jit(lambda a, b: jnp.sum(f(a, b)))
-    t = _time_best(g, (a, b), reps=6, overhead=overhead)
-    return 2.0 * grid * reps * rows * cols * k / t
+def mxu_rate(device_kind: str, k: int) -> float:
+    """Datasheet bf16 peak derated by K-tile fill — optimistic floor rate
+    (see module docstring for why this is not measured)."""
+    peak = _PEAK_BF16_TFLOPS.get(device_kind, 197.0) * 1e12
+    return peak * min(k, 128) / 128.0
 
 
 # --------------------------------------------------------------------------
-# 2. op counts from the flat-kernel structure
+# 2. op counts from the flat-kernel structure (ops/psi_pallas.py, +-30%)
 # --------------------------------------------------------------------------
 
 def op_counts(n: int, m: int, q: int, d: int):
+    """Structural per-cell counts for the flat-basis kernels. A 'cell' is
+    one (data point, staircase slab element): cells/point = 128 * S,
+    S = sum_b (Ml - 128 b). Hand-counted from _fwd_flat_body /
+    _bwd_flat_body; bf16 ops weighted 0.5 (packed 2/cycle).
+
+    fwd per cell: exp2(lp) [exp2 pipe]; ALU: tn-reduction add (1) + lhs3
+    build amortized over slab columns (~4*kx/w_avg ~ 0.7); MXU: basis dot
+    2*(3kx) + psi2 N-contraction 2.
+    bwd per cell: exp2 (recompute); ALU: g mult (1) + G-split round (1) +
+    sub (1) + two bf16 casts (1) + mirror transpose ~1 on off-diag cells +
+    fuse/epilogue ~0.5; MXU: slab recompute 2*(3kx) + H dots 2*(2kx+kx) +
+    mirror H dots 2*(2kx+kx) on off-diag cells."""
     from gparml_tpu.ops import psi_pallas as pp
 
     _, ml = pp._m_dims(m)
@@ -176,37 +189,41 @@ def op_counts(n: int, m: int, q: int, d: int):
     cells = 128 * s_cols                              # slab cells per point
     kx = 3 * q + 2
     k3 = 3 * kx                                       # bf16 rung depth
+    mirror_cells = cells - 128 * ml                   # off-diagonal cells
 
     fwd = {
         "exp2": n * (cells + ml),                     # slab + Psi1 row
-        "vpu": n * (2 * cells + 8 * ml),              # accum add + basis prep
-        "mxu_flops": 2 * k3 * n * cells + 2 * n * ml * d,
+        "alu": n * (1.7 * cells + 8 * ml),
+        "mxu_flops": (2 * k3 + 2) * n * cells + 2 * n * ml * d,
+        # qn layout: mu,s (Q,N) + y (D,N) f32 read once
+        "hbm_bytes": 4 * n * (2 * q + d),
     }
-    # backward: recompute fwd slab (+ exp2), G mult, Veltkamp split (~4 ops),
-    # H contractions at depth 128 against (2kx | kx) rungs + mirror blocks.
-    mirror_cells = 128 * (s_cols - ml)                # off-diagonal cells
     bwd = {
         "exp2": n * (cells + ml),
-        "vpu": n * (7 * cells + 16 * ml),
+        "alu": n * (4.0 * cells + 1.0 * mirror_cells + 16 * ml),
         "mxu_flops": (
             2 * k3 * n * cells                        # slab recompute
             + 2 * (3 * kx) * n * cells                # hx2 (2kx) + hx1 (kx)
             + 2 * (3 * kx) * n * mirror_cells         # mirror contractions
             + 6 * n * ml * d                          # dyw/dlq matmuls
         ),
+        # reads again + writes dmu, ds, dyw
+        "hbm_bytes": 4 * n * (2 * q + d) * 2,
     }
-    return fwd, bwd, {"ml": ml, "cells_per_n": cells, "k3": k3}
+    return fwd, bwd, {"ml": ml, "cells_per_n": cells, "kx": kx, "k3": k3}
 
 
-def floors(counts, exp2_rate, vpu_rate, mxu_rate):
-    t_vpu = counts["exp2"] / exp2_rate + counts["vpu"] / vpu_rate
-    t_mxu = counts["mxu_flops"] / mxu_rate
-    return {
-        "vpu_s": round(t_vpu, 4),
-        "mxu_s": round(t_mxu, 4),
-        "floor_overlap_s": round(max(t_vpu, t_mxu), 4),
-        "floor_serial_s": round(t_vpu + t_mxu, 4),
+def floors(counts, alu_rate, exp2_rate, mxu, hbm_bps):
+    pipes = {
+        "alu_s": counts["alu"] / alu_rate,
+        "exp2_s": counts["exp2"] / exp2_rate,
+        "mxu_s": counts["mxu_flops"] / mxu,
+        "hbm_s": counts["hbm_bytes"] / hbm_bps,
     }
+    out = {k: round(v, 4) for k, v in pipes.items()}
+    out["floor_overlap_s"] = round(max(pipes.values()), 4)
+    out["floor_serial_s"] = round(sum(pipes.values()), 4)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -245,8 +262,10 @@ def stage_times(n, m, q, d, layout):
 
     vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
 
-    t_fwd = _time_best(fwd, (mu, s, jnp.float32(1.3)), reps=4)
-    t_vg = _time_best(vg, (mu, s, jnp.float32(1.3)), reps=4)
+    # sf2 perturbed per rep: the tunnel dedupes identical dispatches
+    psf2 = lambda a, i: (a[0], a[1], jnp.float32(1.3 + 1e-3 * (i + 1)))
+    t_fwd = _time_best(fwd, (mu, s, jnp.float32(1.3)), reps=4, perturb=psf2)
+    t_vg = _time_best(vg, (mu, s, jnp.float32(1.3)), reps=4, perturb=psf2)
 
     # full bound+grad through the model layer
     bij = transforms.get("exp")
@@ -263,7 +282,12 @@ def stage_times(n, m, q, d, layout):
     def full(p, y):
         return gplvm.neg_bound_value_and_grad(p, y, cfg)
 
-    t_full = _time_best(full, (params, y), reps=4)
+    def pbeta(a, i):
+        p, yy = a
+        g2 = p.glob._replace(u_beta=p.glob.u_beta + np.float32((i + 1) * 1e-3))
+        return (p._replace(glob=g2), yy)
+
+    t_full = _time_best(full, (params, y), reps=4, perturb=pbeta)
     return t_fwd, t_vg, t_full
 
 
@@ -280,52 +304,60 @@ def main():
         print(json.dumps({"note": "no TPU backend; roofline needs hardware"}))
         return 3
 
-    overhead = measure_dispatch_overhead()
-    exp2_rate, vpu_rate = measure_vpu_rates(overhead)
+    dev = jax.devices()[0]
+    rtt = measure_rtt()
+    alu_rate, exp2_rate, free_first = measure_vpu_rates()
     fwd_c, bwd_c, meta = op_counts(a.n, a.m, a.q, a.d)
-    mxu_rate = measure_mxu_rate(meta["k3"], overhead)
-    mxu_rate_bwd = measure_mxu_rate(128, overhead)  # H contractions run at K=128
+    mxu = mxu_rate(dev.device_kind, meta["k3"])
+    hbm_bps = _HBM_GBPS.get(dev.device_kind, 819.0) * 1e9
 
-    t_fwd, t_vg, t_full = stage_times(a.n, a.m, a.q, a.d, a.layout)
-    t_bwd = t_vg - t_fwd
-    t_asm = t_full - t_vg
+    t_fwd_raw, t_vg_raw, t_full_raw = stage_times(a.n, a.m, a.q, a.d, a.layout)
+    t_fwd = max(t_fwd_raw - rtt, 1e-9)   # one dispatch: subtract RTT once
+    t_bwd = t_vg_raw - t_fwd_raw         # difference of dispatches: RTT cancels
+    t_asm = t_full_raw - t_vg_raw
 
-    f_fwd = floors(fwd_c, exp2_rate, vpu_rate, mxu_rate)
-    # backward's H flops run at full K; weight the two matmul classes
+    f_fwd = floors(fwd_c, alu_rate, exp2_rate, mxu, hbm_bps)
+    # backward's H/mirror dots contract at K=w_cols>=128 (full fill); only
+    # the slab recompute runs at k3 fill. Weight the two matmul classes.
     slab_flops = 2 * meta["k3"] * a.n * meta["cells_per_n"]
     h_flops = bwd_c["mxu_flops"] - slab_flops
-    t_mxu_bwd = slab_flops / mxu_rate + h_flops / mxu_rate_bwd
-    t_vpu_bwd = bwd_c["exp2"] / exp2_rate + bwd_c["vpu"] / vpu_rate
-    f_bwd = {
-        "vpu_s": round(t_vpu_bwd, 4),
-        "mxu_s": round(t_mxu_bwd, 4),
-        "floor_overlap_s": round(max(t_vpu_bwd, t_mxu_bwd), 4),
-        "floor_serial_s": round(t_vpu_bwd + t_mxu_bwd, 4),
-    }
+    mxu_full = mxu_rate(dev.device_kind, 128)
+    t_mxu_bwd = slab_flops / mxu + h_flops / mxu_full
+    f_bwd = floors(bwd_c, alu_rate, exp2_rate, mxu, hbm_bps)
+    f_bwd["mxu_s"] = round(t_mxu_bwd, 4)
+    f_bwd["floor_overlap_s"] = round(
+        max(t_mxu_bwd, bwd_c["alu"] / alu_rate,
+            bwd_c["exp2"] / exp2_rate, bwd_c["hbm_bytes"] / hbm_bps), 4)
+    f_bwd["floor_serial_s"] = round(
+        t_mxu_bwd + bwd_c["alu"] / alu_rate
+        + bwd_c["exp2"] / exp2_rate + bwd_c["hbm_bytes"] / hbm_bps, 4)
 
-    dev = jax.devices()[0]
     print(json.dumps({
         "shape": {"n": a.n, "m": a.m, "q": a.q, "d": a.d,
                   "layout": a.layout, **meta},
         "device": dev.device_kind,
         "rates": {
-            "exp2_per_s": f"{exp2_rate:.3e}",
-            "vpu_elementwise_per_s": f"{vpu_rate:.3e}",
-            f"mxu_flops_per_s_k{meta['k3']}": f"{mxu_rate:.3e}",
-            "mxu_flops_per_s_k128": f"{mxu_rate_bwd:.3e}",
+            "tunnel_rtt_ms": round(rtt * 1e3, 1),
+            "alu_instr_per_s": f"{alu_rate:.3e}",
+            "exp2_marginal_per_s": f"{exp2_rate:.3e}",
+            "first_exp2_extra_frac": round(free_first, 3),
+            f"mxu_flops_per_s_k{meta['k3']}_datasheet": f"{mxu:.3e}",
+            "hbm_bytes_per_s_datasheet": f"{hbm_bps:.3e}",
         },
         "measured_s": {
             "psi_fwd": round(t_fwd, 4),
             "psi_bwd": round(t_bwd, 4),
-            "psi_fwd_bwd": round(t_vg, 4),
+            "psi_fwd_bwd": round(t_fwd + t_bwd, 4),
             "bound_assembly": round(t_asm, 4),
-            "full_bound_grad": round(t_full, 4),
+            "full_bound_grad": round(t_full_raw - rtt, 4),
         },
         "floor_fwd": f_fwd,
         "floor_bwd": f_bwd,
-        "ratio_to_overlap_floor": {
-            "fwd": round(t_fwd / max(f_fwd["floor_overlap_s"], 1e-9), 2),
-            "bwd": round(t_bwd / max(f_bwd["floor_overlap_s"], 1e-9), 2),
+        "ratio_to_floor": {
+            "fwd_vs_overlap": round(t_fwd / f_fwd["floor_overlap_s"], 2),
+            "fwd_vs_serial": round(t_fwd / f_fwd["floor_serial_s"], 2),
+            "bwd_vs_overlap": round(t_bwd / f_bwd["floor_overlap_s"], 2),
+            "bwd_vs_serial": round(t_bwd / f_bwd["floor_serial_s"], 2),
         },
     }))
     return 0
