@@ -44,6 +44,13 @@ class GPLVMConfig:
     fixed_beta: bool = False         # reference --fixed_beta
     fixed_z: bool = False
     fixed_hypers: bool = False
+    scg_mode: str = "auto"           # SCG driver: 'fused' (one while_loop
+                                     # program for the whole fit) | 'stepped'
+                                     # (one program per iteration, host loop)
+                                     # | 'auto' (stepped at/above
+                                     # scg.STEPPED_N_THRESHOLD rows — bounds
+                                     # per-program wall/memory at config-5
+                                     # scale, see that constant's note)
 
 
 class FitResult(NamedTuple):
@@ -239,9 +246,16 @@ def fit(
 
     if optimizer == "scg":
         opts = scg_options or scg.SCGOptions(max_iters=iters)
-        st = jax.jit(
-            lambda p, y, w, m: scg.minimize(vg_of(y, w, m), p, opts)
-        )(p0, y, weights, mask)
+        n_rows = (p0.lat.mu.shape[1] if config.layout == "qn"
+                  else p0.lat.mu.shape[0])
+        if scg.use_stepped(config.scg_mode, n_rows):
+            st = scg.minimize_stepped(
+                lambda p, yy, w, m: vg_of(yy, w, m)(p), p0, opts,
+                extra=(y, weights, mask))
+        else:
+            st = jax.jit(
+                lambda p, y, w, m: scg.minimize(vg_of(y, w, m), p, opts)
+            )(p0, y, weights, mask)
         from gparml_tpu.models.sgpr import scg_trace
         return FitResult(st.x, -st.f_now, -st.history.f, st.n_evals, scg_trace(st))
     elif optimizer in ("adam", "gd"):

@@ -33,6 +33,8 @@ class SGPRConfig:
     fixed_beta: bool = False         # reference --fixed_beta
     fixed_z: bool = False
     fixed_hypers: bool = False
+    scg_mode: str = "auto"           # 'fused' | 'stepped' | 'auto' — see
+                                     # gplvm.GPLVMConfig.scg_mode
 
 
 class FitResult(NamedTuple):
@@ -166,9 +168,14 @@ def fit(
 
     if optimizer == "scg":
         opts = scg_options or scg.SCGOptions(max_iters=iters)
-        st = jax.jit(
-            lambda g, x, y, w, m: scg.minimize(vg_of(x, y, w, m), g, opts)
-        )(g0, x, y, weights, mask)
+        if scg.use_stepped(config.scg_mode, x.shape[n_ax]):
+            st = scg.minimize_stepped(
+                lambda g, xx, yy, w, m: vg_of(xx, yy, w, m)(g), g0, opts,
+                extra=(x, y, weights, mask))
+        else:
+            st = jax.jit(
+                lambda g, x, y, w, m: scg.minimize(vg_of(x, y, w, m), g, opts)
+            )(g0, x, y, weights, mask)
         return FitResult(st.x, -st.f_now, -st.history.f, st.n_evals, scg_trace(st))
     elif optimizer in ("adam", "gd"):
         import optax

@@ -26,6 +26,7 @@ gradient on acceptance) vs the reference's 2-3 full MapReduce passes.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -95,35 +96,26 @@ def _tree_max_abs(t) -> jnp.ndarray:
     return jnp.array(leaves).max()
 
 
-def minimize(
-    value_and_grad_fn: Callable,
-    x0,
-    options: SCGOptions = SCGOptions(),
-) -> SCGState:
-    """Minimize ``value_and_grad_fn`` (params -> (f, grad pytree)) with SCG.
-
-    Returns the final SCGState; ``state.x`` are the optimized params,
-    ``state.history`` an SCGHistory of per-iteration (f, ||grad||^2, lambda,
-    alpha, accepted) arrays (nan/False where the loop had already
-    converged). Call under jit for a fully fused loop.
-    """
-    nparams = sum(l.size for l in jax.tree.leaves(x0))
-
-    f0, g0 = value_and_grad_fn(x0)
-    # Clamp lambda bounds into the objective dtype's finite range (f32 on TPU)
-    # and floor the convergence tolerances at ~30 dtype epsilons: the
-    # reference's absolute 1e-8 defaults assume float64; below f32 resolution
-    # they fire on rounding noise.
-    fi = jnp.finfo(f0.dtype)
+def _resolve_options(options: SCGOptions, dtype) -> SCGOptions:
+    """Clamp lambda bounds into the objective dtype's finite range (f32 on
+    TPU) and floor the convergence tolerances at ~30 dtype epsilons: the
+    reference's absolute 1e-8 defaults assume float64; below f32 resolution
+    they fire on rounding noise."""
+    fi = jnp.finfo(dtype)
     lam_max = min(options.lam_max, float(fi.max) / 8.0)
     lam_min = max(options.lam_min, float(fi.tiny) * 8.0)
     tol_floor = 30.0 * float(fi.eps)
-    options = options._replace(
+    return options._replace(
         lam_max=lam_max, lam_min=lam_min,
         xtol=max(options.xtol, tol_floor), ftol=max(options.ftol, tol_floor),
         # curvature probe must out-scale gradient rounding noise
         sigma0=max(options.sigma0, 10.0 * float(fi.eps) ** 0.5),
     )
+
+
+def _initial_state(x0, f0, g0, options: SCGOptions) -> SCGState:
+    """SCG state at the starting point given the (f, grad) there; options
+    must already be resolved for f0's dtype."""
     d0 = tree_neg(g0)
     nanrow = jnp.full((options.max_iters,), jnp.nan, dtype=f0.dtype)
     history0 = SCGHistory(
@@ -131,7 +123,7 @@ def minimize(
         accepted=jnp.zeros((options.max_iters,), bool),
     )
 
-    state = SCGState(
+    return SCGState(
         x=x0,
         f_now=f0,
         f_old=f0,
@@ -150,16 +142,11 @@ def minimize(
         history=history0,
     )
 
-    if options.max_iters == 0:
-        # pure evaluation at x0 (while_loop would still TRACE the body, and
-        # a size-0 history cannot be indexed even in dead code)
-        return state
 
-    if options.trace_timing:
-        _stamp(jnp.int32(-1))  # loop-entry stamp: baseline free of compile time
-
-    def cond(st: SCGState):
-        return jnp.logical_and(st.iteration < options.max_iters, ~st.done)
+def _make_body(value_and_grad_fn: Callable, options: SCGOptions, nparams: int):
+    """One SCG iteration state -> state (the reference's per-iteration block,
+    SURVEY.md §3.3); shared verbatim by the fused while_loop driver and the
+    host-stepped driver so the two execute the identical algorithm."""
 
     def body(st: SCGState) -> SCGState:
         dt = st.f_now.dtype
@@ -265,4 +252,140 @@ def minimize(
             n_evals=st.n_evals + 1, history=history,
         )
 
+    return body
+
+
+def minimize(
+    value_and_grad_fn: Callable,
+    x0,
+    options: SCGOptions = SCGOptions(),
+) -> SCGState:
+    """Minimize ``value_and_grad_fn`` (params -> (f, grad pytree)) with SCG.
+
+    Returns the final SCGState; ``state.x`` are the optimized params,
+    ``state.history`` an SCGHistory of per-iteration (f, ||grad||^2, lambda,
+    alpha, accepted) arrays (nan/False where the loop had already
+    converged). Call under jit for a fully fused loop.
+    """
+    nparams = sum(l.size for l in jax.tree.leaves(x0))
+
+    f0, g0 = value_and_grad_fn(x0)
+    options = _resolve_options(options, f0.dtype)
+    state = _initial_state(x0, f0, g0, options)
+
+    if options.max_iters == 0:
+        # pure evaluation at x0 (while_loop would still TRACE the body, and
+        # a size-0 history cannot be indexed even in dead code)
+        return state
+
+    if options.trace_timing:
+        _stamp(jnp.int32(-1))  # loop-entry stamp: baseline free of compile time
+
+    def cond(st: SCGState):
+        return jnp.logical_and(st.iteration < options.max_iters, ~st.done)
+
+    body = _make_body(value_and_grad_fn, options, nparams)
     return jax.lax.while_loop(cond, body, state)
+
+
+# Above this many data rows the fit drivers (gplvm.fit / sgpr.fit, mode
+# "auto") switch from the fused while_loop to the host-stepped driver.
+# Hardware basis (v5e-1, 2026-08-19, tools/large_n_singlechip.py): fused
+# SCG at N=1e6/M=200 ran 20 iterations in one 99 s program without issue
+# (round 2), but fused SCG at N=1e7/M=500 — one device program holding the
+# full SCG state (~3.2 GB of (Q, N) pytrees x4) plus two chunked
+# bound+grad evals per iteration — crashed the TPU worker ("kernel
+# fault"), while the IDENTICAL standalone jitted evals at that shape
+# completed repeatedly in the same process. Bounding each device program
+# to one SCG iteration (and donating the state between programs) is the
+# fix; 2e6 sits conservatively between the proven-good and proven-bad
+# endpoints.
+STEPPED_N_THRESHOLD = 2_000_000
+
+
+def use_stepped(mode: str, n_rows: int) -> bool:
+    """Resolve a fit driver's scg_mode knob: 'fused' | 'stepped' | 'auto'
+    (auto = stepped at/above STEPPED_N_THRESHOLD data rows)."""
+    if mode == "stepped":
+        return True
+    if mode == "fused":
+        return False
+    if mode != "auto":
+        raise ValueError(
+            f"scg_mode must be 'fused', 'stepped' or 'auto'; got {mode!r}")
+    return n_rows >= STEPPED_N_THRESHOLD
+
+
+def minimize_stepped(
+    value_and_grad_fn: Callable,
+    x0,
+    options: SCGOptions = SCGOptions(),
+    extra: tuple = (),
+) -> SCGState:
+    """``minimize`` with one jitted device program PER SCG ITERATION instead
+    of one fused while_loop program for the whole fit.
+
+    Same algorithm, same SCGState result (the iteration body is shared code,
+    ``_make_body``); the loop and the convergence test run on the host, which
+    costs one scalar device sync per iteration (~tunnel RTT, negligible
+    against the >=0.4 s iterations this mode exists for) and buys:
+
+      * bounded per-program execution time and working set — at BASELINE
+        config-5 scale (N=1e7, M=500, layout='qn') the fused whole-fit
+        program crashed the TPU worker where its constituent per-eval
+        programs succeed (see STEPPED_N_THRESHOLD note);
+      * donation of the ~4x(N-sized) optimizer state between iterations
+        (the fused driver gets the same effect from while_loop's carry).
+
+    This is also structurally the reference's execution model: GParML's
+    scg_adapted.py runs each objective evaluation as its own MapReduce pass
+    with the SCG loop in the host process (SURVEY.md §3.3).
+
+    ``value_and_grad_fn(p, *extra)``: ``extra`` rides as jit arguments (not
+    closure constants) — pass data/weights/masks there, exactly like the
+    fit drivers do for the fused path. Must NOT be called under jit.
+    """
+    nparams = sum(l.size for l in jax.tree.leaves(x0))
+
+    f0, g0 = jax.jit(value_and_grad_fn)(x0, *extra)
+    options = _resolve_options(options, jnp.asarray(f0).dtype)
+    state = _initial_state(x0, f0, g0, options)
+
+    if options.max_iters == 0:
+        return state
+
+    if options.trace_timing:
+        from gparml_tpu.utils import logging as glog
+
+        glog.stamp_iteration(-1)
+
+    # Donate the four N-sized trees between iterations (x, g_new, g_old, d
+    # — the ~4x(N-sized) optimizer state) so each program updates them in
+    # place. They ride as their own argument because donation needs unique
+    # buffers: the scalars/history in `rest` can be output-aliased by XLA
+    # (f_now/f_old are the same expression), and the initial state aliases
+    # g_old to g_new and x to the CALLER's pytree — copied below so the
+    # caller's params survive the first donation.
+    def _split(st: SCGState):
+        return ((st.x, st.g_new, st.g_old, st.d),
+                st._replace(x=None, g_new=None, g_old=None, d=None))
+
+    def _merge(big, rest: SCGState) -> SCGState:
+        return rest._replace(x=big[0], g_new=big[1], g_old=big[2], d=big[3])
+
+    state = state._replace(
+        x=jax.tree.map(jnp.copy, state.x),
+        g_old=jax.tree.map(jnp.copy, state.g_old),
+    )
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(big, rest, *ex):
+        st = _make_body(lambda p: value_and_grad_fn(p, *ex),
+                        options, nparams)(_merge(big, rest))
+        return _split(st)
+
+    big, rest = _split(state)
+    while (int(rest.iteration) < options.max_iters
+           and not bool(rest.done)):
+        big, rest = step(big, rest, *extra)
+    return _merge(big, rest)

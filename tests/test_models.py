@@ -70,6 +70,31 @@ def test_gplvm_scg_increases_bound_and_finds_structure():
     assert alpha[-1] > 3.0 * alpha[0]
 
 
+def test_fit_scg_mode_stepped_matches_fused():
+    """scg_mode='stepped' (one device program per SCG iteration — the
+    config-5-scale driver, scg.STEPPED_N_THRESHOLD note) is trajectory-
+    identical to the fused while_loop on both model families."""
+    rng = np.random.default_rng(11)
+    y = rng.standard_normal((48, 4))
+    cfg_f = gplvm.GPLVMConfig(q=2, num_inducing=8, scg_mode="fused")
+    cfg_s = gplvm.GPLVMConfig(q=2, num_inducing=8, scg_mode="stepped")
+    p0 = gplvm.init_params(jax.random.key(7), jnp.asarray(y), cfg_f)
+    rf = gplvm.fit(p0, jnp.asarray(y), cfg_f, iters=8)
+    rs = gplvm.fit(p0, jnp.asarray(y), cfg_s, iters=8)
+    np.testing.assert_allclose(
+        np.asarray(rf.history), np.asarray(rs.history), rtol=1e-6)
+
+    x = rng.uniform(-2, 2, (60, 1))
+    ys = np.cos(x) + 0.1 * rng.standard_normal((60, 1))
+    scfg_f = sgpr.SGPRConfig(num_inducing=6, scg_mode="fused")
+    scfg_s = sgpr.SGPRConfig(num_inducing=6, scg_mode="stepped")
+    g0 = sgpr.init_params(jax.random.key(8), jnp.asarray(x), jnp.asarray(ys), scfg_f)
+    sf = sgpr.fit(g0, jnp.asarray(x), jnp.asarray(ys), scfg_f, iters=8)
+    ss = sgpr.fit(g0, jnp.asarray(x), jnp.asarray(ys), scfg_s, iters=8)
+    np.testing.assert_allclose(
+        np.asarray(sf.history), np.asarray(ss.history), rtol=1e-6)
+
+
 def test_gplvm_fixed_embeddings_keeps_latents():
     rng = np.random.default_rng(6)
     y = rng.standard_normal((40, 4))

@@ -55,6 +55,60 @@ def test_pytree_params_and_monotone_history():
     assert np.asarray(st.history.accepted)[valid].any()
 
 
+def test_stepped_matches_fused_quadratic():
+    """minimize_stepped executes the identical algorithm (shared body):
+    bit-level trajectory parity with the fused while_loop driver."""
+    a = jnp.asarray(np.diag([1.0, 4.0, 9.0, 0.5]))
+    b = jnp.asarray(np.array([1.0, -2.0, 3.0, 0.2]))
+
+    def vg(x, a, b):
+        f = 0.5 * x @ a @ x - b @ x
+        return f, a @ x - b
+
+    x0 = jnp.zeros(4)
+    opts = scg.SCGOptions(max_iters=50)
+    fused = jax.jit(lambda x: scg.minimize(lambda p: vg(p, a, b), x, opts))(x0)
+    stepped = scg.minimize_stepped(vg, x0, opts, extra=(a, b))
+    # Same algorithm, but different program partitionings are not bit-equal:
+    # near convergence an ulp flips the stop iteration. Compare the early
+    # trajectory tightly and both optima against the analytic solution.
+    k = min(int(fused.iteration), int(stepped.iteration), 10)
+    np.testing.assert_allclose(
+        np.asarray(fused.history.f)[:k], np.asarray(stepped.history.f)[:k],
+        rtol=1e-9)
+    x_star = np.linalg.solve(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(stepped.x), x_star, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fused.x), x_star, atol=1e-4)
+    # host loop honored the convergence flag (did not run to max_iters)
+    assert bool(stepped.done) and int(stepped.iteration) < opts.max_iters
+    # the caller's x0 buffer survives the donation scheme
+    np.testing.assert_array_equal(np.asarray(x0), 0.0)
+
+
+def test_stepped_pytree_params():
+    def vg(p):
+        obj = lambda q: jnp.sum((q["w"] - 3.0) ** 2) + jnp.sum((q["b"]["c"] + 1.0) ** 4)
+        return obj(p), jax.grad(obj)(p)
+
+    p0 = {"w": jnp.zeros((3, 2)), "b": {"c": jnp.ones(5)}}
+    st = scg.minimize_stepped(vg, p0, scg.SCGOptions(max_iters=100))
+    np.testing.assert_allclose(st.x["w"], 3.0, atol=1e-5)
+    np.testing.assert_allclose(st.x["b"]["c"], -1.0, atol=1e-2)
+
+
+def test_use_stepped_resolution():
+    assert scg.use_stepped("stepped", 1)
+    assert not scg.use_stepped("fused", 10**9)
+    assert scg.use_stepped("auto", scg.STEPPED_N_THRESHOLD)
+    assert not scg.use_stepped("auto", scg.STEPPED_N_THRESHOLD - 1)
+    try:
+        scg.use_stepped("bogus", 1)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("bad mode must raise")
+
+
 def test_early_convergence_stops_evals():
     """Once converged, the loop exits (history stays nan afterwards)."""
     def vg(x):
