@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "single-device only, all modes: GPLVM, SGPR, SVGP)")
     p.add_argument("--block", type=int, default=None,
                    help="N-block size for the scanned psi path (memory bound)")
+    p.add_argument("--scg-mode", choices=["auto", "fused", "stepped"],
+                   default="auto", dest="scg_mode",
+                   help="SCG driver: one fused while_loop program for the "
+                        "whole fit, or one device program per iteration "
+                        "(auto: stepped at/above 2e6 rows — the config-5 "
+                        "large-N regime)")
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
     p.add_argument("--bijector", choices=["exp", "softplus"], default="exp")
     p.add_argument("--seed", type=int, default=0)
@@ -309,6 +315,7 @@ def run(options) -> dict:
             num_inducing=options.m, bijector=options.bijector,
             block=options.block, fixed_beta=options.fixed_beta,
             layout=sg_layout,
+            scg_mode=getattr(options, "scg_mode", "auto"),
         )
         g0 = sgpr.init_params(key, x, y, scfg)
         if options.load and options.statistics:
@@ -390,6 +397,7 @@ def run(options) -> dict:
         # pair the transposed latent storage with transposed observations:
         # under qn NOTHING N-sized is (N, small) in HBM (docs/DESIGN.md §5)
         y_layout="dn" if layout == "qn" else "nd",
+        scg_mode=getattr(options, "scg_mode", "auto"),
     )
     # host-side transpose: the (D, N) array uploads in its compact form
     y = jnp.asarray(y_np.T if layout == "qn" else y_np, dtype)

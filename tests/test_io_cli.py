@@ -83,6 +83,37 @@ def test_cli_end_to_end_and_resume(tmp_path, rng):
     assert summary2["final_bound"] >= summary1["final_bound"] - 1e-3
 
 
+def test_cli_scg_mode_stepped(tmp_path, rng):
+    """--scg-mode stepped drives the host-stepped SCG driver end-to-end
+    (the config-5 large-N driver, here at CI scale) through both model
+    families' CLI paths."""
+    from gparml_tpu import cli
+
+    y, _ = data.synthetic_gplvm(n=32, d=4, q_true=1, seed=9)
+    inputs = tmp_path / "inputs"
+    data.save_partitioned(str(inputs), y, 2, prefix="Y")
+    summary = cli.main([
+        "-i", str(inputs), "-e", str(tmp_path / "emb"),
+        "-T", "6", "-q", "2", "-m", "5", "--scg-mode", "stepped",
+    ])
+    assert np.isfinite(summary["final_bound"])
+
+    # SGPR mode (--fixed-embeddings): embeddings folder holds observed X
+    inputs2 = tmp_path / "inputs2"
+    emb2 = tmp_path / "emb2"
+    x = np.sort(rng.uniform(-2, 2, (30, 1)), axis=0)
+    ys = np.cos(x) + 0.1 * rng.standard_normal((30, 1))
+    data.save_partitioned(str(inputs2), ys, 2, prefix="Y")
+    data.save_embeddings(str(emb2), x, np.full_like(x, 1e-6), n_partitions=2)
+    summary2 = cli.main([
+        "-i", str(inputs2), "-e", str(emb2),
+        "-T", "6", "-q", "1", "-m", "5",
+        "--fixed-embeddings", "--scg-mode", "stepped",
+    ])
+    assert summary2["mode"] == "sgpr"
+    assert np.isfinite(summary2["final_bound"])
+
+
 def test_cli_adam_and_fixed_beta(tmp_path, rng):
     from gparml_tpu import cli
 
