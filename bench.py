@@ -186,6 +186,26 @@ def main():
               file=sys.stderr)
         m500 = {"m500_n1e5_sec": None}
 
+    # Config-5 FULL-scale datapoint (BASELINE config 5: N=1e7, M=500),
+    # single chip, qn layout — exercises the chunked flat-kernel path
+    # (psi_pallas._chunk_plan: ml=512 caps each pallas_call at 4e6 rows).
+    # Measured LAST so a failure here can never cost the headline numbers,
+    # and inside try/except so the one-line JSON contract survives even a
+    # TPU worker crash (which surfaces client-side as a jax error, not a
+    # process kill). reps=2 bounds the wall cost of a ~10 s/eval shape.
+    m500_full = {}
+    if mesh is None:
+        try:
+            dt7 = measure_shape(jax, jnp, n=10_000_000, m=500, q=q, d=d,
+                                dtype=dtype, layout="qn", reps=2)
+            m500_full = {"m500_n1e7_sec": round(dt7, 3)}
+        except Exception as e:
+            msg = (str(e).splitlines() or ["<no message>"])[0][:200]
+            print(f"m500_n1e7 measurement failed: {type(e).__name__}: {msg}",
+                  file=sys.stderr)
+            m500_full = {"m500_n1e7_sec": None,
+                         "m500_n1e7_error": f"{type(e).__name__}: {msg}"}
+
     impl_best = min(results, key=results.get)
     dt = results[impl_best]
     evals_per_sec = 1.0 / dt
@@ -206,6 +226,7 @@ def main():
                 "psi_gflops": round(gflops, 1),
                 **mfu,
                 **m500,
+                **m500_full,
                 **qn,
                 **({"engine_errors": errors} if errors else {}),
             }
@@ -240,7 +261,7 @@ def _mfu(dev, gflops: float, n_devices: int) -> dict:
     }
 
 
-def measure_shape(jax, jnp, n, m, q, d, dtype, layout="nq"):
+def measure_shape(jax, jnp, n, m, q, d, dtype, layout="nq", reps=4):
     """One fused bound+grad eval time at an arbitrary shape (pallas engine,
     single device). layout='qn' stores/consumes everything transposed —
     the single-chip large-N path."""
@@ -280,9 +301,11 @@ def measure_shape(jax, jnp, n, m, q, d, dtype, layout="nq"):
     out = eval_once(params, y)
     float(out[0])
     times = []
-    # min of 4 reps — identical protocol to measure(), so every headline
-    # candidate is compared under the same measurement (ADVICE r4).
-    for i in range(4):
+    # Default min of 4 reps — identical protocol to measure(), so every
+    # headline candidate is compared under the same measurement (ADVICE r4).
+    # Non-headline scale datapoints may pass a smaller reps to bound wall
+    # time (they are never compared against another engine's number).
+    for i in range(reps):
         g = params.glob._replace(u_beta=params.glob.u_beta + np.float32((i + 1) * 1e-3))
         p_i = params._replace(glob=g)
         t0 = time.perf_counter()
