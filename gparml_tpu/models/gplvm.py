@@ -332,7 +332,10 @@ def infer_latents(
 
     vg_fn = jax.value_and_grad(neg_bound)
     opts = scg_options or scg_mod.SCGOptions(max_iters=iters)
-    st = jax.jit(lambda l: scg_mod.minimize(vg_fn, l, opts))(lat0)
+    if scg_mod.use_stepped(config.scg_mode, y_new.shape[0]):
+        st = scg_mod.minimize_stepped(lambda l: vg_fn(l), lat0, opts)
+    else:
+        st = jax.jit(lambda l: scg_mod.minimize(vg_fn, l, opts))(lat0)
     mu_s, s_s = P.constrain_latents(st.x, config.bijector, config.layout)
     from gparml_tpu.models.sgpr import scg_trace
     return mu_s, s_s, FitResult(
