@@ -1052,37 +1052,42 @@ def _flat_subtile(budget_tile: int) -> int:
 
 # Shared HARDWARE window for the whole flat-basis kernel family — row-major
 # (_use_flat) and (Q, N)-native (qn_native_ok) dispatch alike; one risk
-# policy, not two (ADVICE r3). History: ml=256 was proven on a real v5e up
-# to N=1e7 in round 3; ml=512 compiled but crashed the TPU worker at
-# N=1e7/M=500 and was quarantined at 256. Round-4 hardware session
-# (2026-08-19, v5e): tools/qn_ml512_bisect.py walked ml in {384, 512},
-# fwd then fwd+bwd, N 4096 -> 4e6 — all stages pass — but the follow-up
-# N=1e7/M=500 run crashed the worker AGAIN minutes later on the same chip
-# (jax UNAVAILABLE "TPU worker process crashed ... kernel fault"). So the
-# crash is REAL and N-scale-dependent, not transient infrastructure: the
-# wide shapes are sound per call up to the bisect-proven N, and the failing
-# quantity appears only somewhere in N-per-call (4e6, 1e7]. The window is
-# therefore lifted to the capability limit AND paired with the per-call
-# N caps below (_FLAT_N_PER_CALL_*): suff_stats/suff_stats_t accumulate the
-# kernel over N-chunks so no single pallas_call ever exceeds a
-# hardware-proven (N, Ml) point. Interpret mode keeps the full capability
-# window (_FLAT_ML_LIMIT) so CPU parity tests cover every sub-tile ladder
-# either way.
+# policy, not two (ADVICE r3).
+#
+# History, with the round-5 root cause. ml=512 "crashed the TPU worker at
+# N=1e7/M=500" in rounds 3 and 4 and was first quarantined, then (after
+# tools/qn_ml512_bisect.py passed ml in {384, 512} fwd+bwd to N=4e6)
+# guarded by per-call N caps. Round 5 (2026-08-19, v5e,
+# tools/flat_n_boundary.py) identified the failing quantity, and it was
+# NEVER the kernel: the probe tools closed their jitted losses over the
+# N-sized y/w arrays, embedding O(N) CONSTANTS into the HLO shipped
+# through the axon tunnel's /remote_compile HTTP endpoint. Evidence:
+#   * constants version, N=6e6 (~312 MB of constants): clean client error
+#     "HTTP 413: Failed to buffer the request body: length limit exceeded";
+#     a 300 MB control constant at N=4096 passes — limit sits just above
+#     300 MB, and the historic ~520 MB payloads at N=1e7 are what killed
+#     the tunnel worker ("TPU worker process crashed" from the client);
+#   * arguments version (the PRODUCTION calling convention — suff_stats
+#     under fit/bench never embeds data): N walked 4e6 -> 6e6 -> 8e6 ->
+#     1e7 at ml=512, fwd+bwd, ALL PASS (13.3 s steady at 1e7);
+#   * grid-steps hypothesis refuted separately (tile=8 at N=4e6 = 500k
+#     steps > the "crashing" shape's 312k: PASS), wall-time hypothesis
+#     bounded (13.3 s single calls pass).
+# The window therefore sits at the capability limit with no kernel-side
+# N quarantine. Interpret mode keeps the full capability window
+# (_FLAT_ML_LIMIT) so CPU parity tests cover every sub-tile ladder.
 _FLAT_ML_HW_LIMIT = 512
 
-# Per-pallas_call N caps for the hardware window. Proven points on a v5e
-# (round 3 + 2026-08-19): (N=1e7, Ml<=256) and (N=4e6, Ml in {384, 512});
-# N=1e7 at Ml=512 crashed the TPU worker in BOTH rounds (reproduced). The
-# failing quantity is unidentified — the inputs' HBM footprint is
-# Ml-independent in the qn layout, and grid-step counts overlap between
-# passing and failing shapes — so the guard is empirical: cap the rows any
-# single call sees at the proven point for its Ml class; above it,
-# suff_stats/suff_stats_t accumulate equal N-chunks with lax.scan. Exact:
-# both outputs are plain sums over N and chunk-padding rows carry w=0 (the
-# _pad_inputs contract, tested to 0 ulp). Cost at (1e7, 512): 3 chunks, two
-# extra (m, d) + (m, m) adds and one compact HBM re-layout.
+# Per-pallas_call N caps. After the round-5 root cause above, both classes
+# sit at the HARDWARE-PROVEN single-call endpoint (v5e: N=1e7 at ml=256
+# round 3 production path; N=1e7 at ml=512 round 5 boundary walk, fwd+bwd).
+# The caps and the lax.scan chunked accumulation below them are kept as the
+# guard for territory beyond any measurement (N > 1e7 per call): chunking
+# is exact — both outputs are plain sums over N and chunk-padding rows
+# carry w=0 (the _pad_inputs contract, tested to 0 ulp) — and measured
+# free (the 3-chunk config-5 eval matched the single-call wall to <1%).
 _FLAT_N_PER_CALL_NARROW = 10_000_000
-_FLAT_N_PER_CALL_WIDE = 4_000_000
+_FLAT_N_PER_CALL_WIDE = 10_000_000
 _CHUNK_GRANULE = 1024   # rows-per-chunk granularity (tests patch this down)
 
 

@@ -166,10 +166,12 @@ def test_sgpr_mode_rejected(rng):
 def test_flat_dispatch_shares_one_hardware_window():
     """ADVICE r3: row-major (_use_flat) and transposed (qn_native_ok)
     dispatch must apply ONE hardware risk policy for the flat-basis kernel
-    family. Round 4 lifted the window to ml=512 (bisect-proven fwd+bwd to
-    N=4e6 per call) and moved the residual risk into the per-call N caps
-    (_chunk_plan) — both dispatches must still agree exactly, and interpret
-    mode keeps the full capability window for CPU parity."""
+    family. Round 4 lifted the window to ml=512; round 5 proved ml=512 to
+    N=1e7 per call and root-caused the historic crashes to probe-tool HLO
+    constants (psi_pallas calibration block) — the per-call N caps
+    (_chunk_plan) remain as the beyond-measurement guard. Both dispatches
+    must still agree exactly, and interpret mode keeps the full capability
+    window for CPU parity."""
     q = 3
     for ml in (256, 384, 512):
         on_hw = psi_pallas._use_flat(ml, q, interpret=False)

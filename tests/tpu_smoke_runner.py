@@ -45,9 +45,9 @@ def main() -> int:
     F = jnp.float32
     failures = []
     # M=200 hits the flat-basis fwd+bwd (the production path); M=512 the
-    # top of the flat hardware window since round 4's bisect lifted
-    # _FLAT_ML_HW_LIMIT to 512 (per-call N is capped separately —
-    # psi_pallas._FLAT_N_PER_CALL_WIDE); M=640 the lane-chunked full-square
+    # top of the flat window (round-5 root cause: the historic ml=512
+    # N-scale "crashes" were O(N) HLO constants in probe tools, not the
+    # kernel — psi_pallas calibration block); M=640 the lane-chunked full-square
     # fallback; Q=44 the triangle-forward + staircase-backward pair at
     # small M (3Q+2 > 128 disables the flat basis).
     for n, m, q, d in ((64, 200, 10, 12), (24, 512, 10, 12),
@@ -96,10 +96,10 @@ def main() -> int:
         if m in (200, 512) and psi_pallas.qn_native_ok(m, q, interpret=False):
             # The (Q, N)-native kernels (single-chip large-N path) must also
             # survive the real Mosaic compile and match, across the flat
-            # window's sub-tile ladder. M=512 is inside the hardware window
-            # since the round-4 bisect; its N-scale risk is handled by the
-            # per-call N caps in psi_pallas (worker crash at N=1e7/M=500,
-            # reproduced twice, never below N-per-call 4e6).
+            # window's sub-tile ladder. M=512 is hardware-proven to
+            # N=1e7 per call (round-5 boundary walk; the historic crashes
+            # were probe-tool HLO-constant artifacts, see the psi_pallas
+            # calibration block).
             vq, gq = obj(qn_fn)
             if not np.isclose(float(vq), float(vx), rtol=2e-4):
                 failures.append(f"M={m} qn: value {float(vq)} vs {float(vx)}")

@@ -17,11 +17,16 @@ psi_pallas._FLAT_ML_HW_LIMIT to 512 and re-run tests/tpu_smoke_runner.py
 
 OUTCOME (v5e, 2026-08-19): all stages PASS — ml in {384, 512} fwd+bwd are
 sound up to N=4e6 per call — but the follow-up N=1e7/M=500 run crashed the
-worker AGAIN (same jax UNAVAILABLE "kernel fault" as round 3). The window
-was lifted to 512 and the residual N-scale risk is handled by per-call N
-caps + chunked accumulation in psi_pallas (_FLAT_N_PER_CALL_WIDE); this
-script deliberately keeps calling the RAW psi_fused_t (no chunking) so it
-remains a probe of the true per-call hardware limit.
+worker AGAIN (same jax UNAVAILABLE "kernel fault" as round 3).
+
+ROUND-5 ROOT CAUSE (tools/flat_n_boundary.py): the crashes were never the
+kernel. vg_once below closes its jitted loss over the N-sized y_t/w —
+embedding ~520 MB of HLO CONSTANTS at N=1e7, which the axon tunnel's
+/remote_compile endpoint could not survive (today it rejects >~300 MB
+with a clean HTTP 413). With all N-sized arrays passed as jit ARGUMENTS
+(the production calling convention), ml=512 fwd+bwd passes at N=1e7 per
+call. This script is kept as the historical record of the bisect; use
+flat_n_boundary.py (args version) for any future per-call probing.
 """
 
 import argparse
