@@ -187,3 +187,29 @@ def test_pallas_m_limit_fallback(rng):
     )
     for a, b in zip(ref, st):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
+
+
+def test_stepped_scg_matches_fused_under_mesh(rng):
+    """The host-stepped SCG driver (the config-5-scale mode) under a data
+    mesh: sharded latents/data ride the per-iteration programs unchanged,
+    and the trajectory matches the fused while_loop driver."""
+    from gparml_tpu.models import gplvm
+    from gparml_tpu.models import params as P
+
+    y, mu, s, z, sf2, alpha, beta = make_problem(rng, n=24, d=3, q=2, m=5)
+    m8 = mesh_lib.make_mesh(8)
+    ys, mus, ss, w = mesh_lib.shard_data(m8, y, mu, s)
+    lat = P.make_latents(mus, ss, bijector="exp")
+    glob = P.make_global(jnp.asarray(z), sf2, alpha, beta)
+    p0 = P.GPLVMParams(glob=glob, lat=lat)
+
+    hists = {}
+    for mode in ("fused", "stepped"):
+        cfg = gplvm.GPLVMConfig(q=2, num_inducing=5, scg_mode=mode)
+        res = gplvm.fit(p0, ys, cfg, iters=6, mesh=m8, weights=w)
+        h = np.asarray(res.history)
+        hists[mode] = h[np.isfinite(h)]
+        assert hists[mode].size > 0
+    k = min(len(hists["fused"]), len(hists["stepped"]))
+    np.testing.assert_allclose(hists["fused"][:k], hists["stepped"][:k],
+                               rtol=1e-6)
