@@ -187,9 +187,11 @@ def main():
         m500 = {"m500_n1e5_sec": None}
 
     # Config-5 FULL-scale datapoint (BASELINE config 5: N=1e7, M=500),
-    # single chip, qn layout — exercises the chunked flat-kernel path
-    # (psi_pallas._chunk_plan: ml=512 caps each pallas_call at 4e6 rows).
-    # Measured LAST so a failure here can never cost the headline numbers,
+    # single chip, qn layout. Since round 5 raised _FLAT_N_PER_CALL_WIDE to
+    # the proven 1e7 this is ONE pallas_call (the chunked path — measured
+    # equal to <1% — engages beyond the caps and stays covered by the
+    # monkeypatched-cap CPU parity tests plus the 2026-08-19 13.334 s
+    # hardware artifact). Measured LAST so a failure can't cost the headline,
     # and inside try/except so the one-line JSON contract survives even a
     # TPU worker crash (which surfaces client-side as a jax error, not a
     # process kill). reps=2 bounds the wall cost of a ~10 s/eval shape.

@@ -322,7 +322,10 @@ def infer_latents(
     s0 = jnp.full_like(mu0, config.s0)
     lat0 = P.make_latents(mu0, s0, bijector=config.bijector, layout=config.layout)
 
-    def neg_bound(lat):
+    # y_new rides as a jit ARGUMENT, never a closure constant: an O(N*)
+    # constant would ship inside every compile payload (the round-5
+    # /remote_compile root cause — psi_pallas calibration block).
+    def neg_bound(lat, y_new):
         mu_s, s_s = P.constrain_latents(lat, config.bijector, config.layout)
         st_new = psi.suff_stats(y_new, mu_s, s_s, z, sf2, alpha, block=config.block)
         st = stats_train + st_new
@@ -333,9 +336,11 @@ def infer_latents(
     vg_fn = jax.value_and_grad(neg_bound)
     opts = scg_options or scg_mod.SCGOptions(max_iters=iters)
     if scg_mod.use_stepped(config.scg_mode, y_new.shape[0]):
-        st = scg_mod.minimize_stepped(lambda l: vg_fn(l), lat0, opts)
+        st = scg_mod.minimize_stepped(vg_fn, lat0, opts, extra=(y_new,))
     else:
-        st = jax.jit(lambda l: scg_mod.minimize(vg_fn, l, opts))(lat0)
+        st = jax.jit(
+            lambda l, yn: scg_mod.minimize(lambda ll: vg_fn(ll, yn), l, opts)
+        )(lat0, y_new)
     mu_s, s_s = P.constrain_latents(st.x, config.bijector, config.layout)
     from gparml_tpu.models.sgpr import scg_trace
     return mu_s, s_s, FitResult(

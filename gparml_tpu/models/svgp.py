@@ -311,14 +311,16 @@ def fit(
         final = elbo(p, xf, yf, n, config)
         elbo_exact, elbo_n = True, n
     else:
-        n_sub = 4 * b
+        # min(n, .): with 4*b >= n the "subset" is the full permutation —
+        # report the true row count (and exactness) instead of 4*b
+        n_sub = min(n, 4 * b)
         idx = jax.random.permutation(jax.random.key(1), n)[:n_sub]
         xf = jnp.take(x, idx, axis=n_ax)
         yf = jnp.take(y, idx, axis=n_ax)
         if n_ax == 1:
             xf, yf = xf.T, yf.T
         final = elbo(p, xf, yf, n, config)
-        elbo_exact, elbo_n = False, n_sub
+        elbo_exact, elbo_n = (n_sub == n), n_sub
     return FitResult(params=p, elbo=final, history=history,
                      n_evals=jnp.asarray(steps, jnp.int32),
                      elbo_exact=elbo_exact, elbo_n=elbo_n)

@@ -230,7 +230,10 @@ def predict_uncertain(
     c_a = jnp.matmul(wb.T, wb, precision="highest")           # A^-1
 
     n_star, q = mu_star.shape
-    b = min(block, n_star)
+    if n_star == 0:
+        # empty test batch: mean is already (0, D); variance matches
+        return mean, jnp.zeros((0,), mu_star.dtype)
+    b = max(1, min(block, n_star))
     pad = (-n_star) % b
     if pad:
         # padded rows (mu=0, s=1) are valid psi2 inputs; their traces are

@@ -162,6 +162,16 @@ def test_predict_uncertain_blocked_matches_per_point_solves(rng):
     np.testing.assert_allclose(np.asarray(var_b), np.asarray(var_1),
                                rtol=1e-5)
 
+    # degenerate inputs (review r5): empty N* returns empty cleanly, and a
+    # nonsensical block <= 0 clamps instead of ZeroDivisionError
+    m_e, v_e = bound.predict_uncertain(
+        jnp.zeros((0, q)), jnp.ones((0, q)), st, zj, sf2, alpha, beta)
+    assert m_e.shape == (0, d) and v_e.shape == (0,)
+    m_0, v_0 = bound.predict_uncertain(
+        mu_star, s_star, st, zj, sf2, alpha, beta, block=0)
+    np.testing.assert_allclose(np.asarray(m_0), np.asarray(mean_1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_0), np.asarray(var_1), rtol=1e-5)
+
     # independent oracle: per-point (M, M) psi2 + triangular solves
     lm, lb, _ = bound.posterior(st, zj, sf2, alpha, beta)
 

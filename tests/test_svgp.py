@@ -195,6 +195,13 @@ def test_svgp_plain_final_elbo_estimator_provenance(rng, monkeypatch):
     np.testing.assert_allclose(float(res_sub.elbo), exact,
                                rtol=0.25, atol=25.0)
 
+    # 4*b >= n: the "subset" is the full permutation — reported as exact
+    # with the TRUE row count, never elbo_n > N (review r5)
+    cfg_big = svgp.SVGPConfig(num_inducing=8, batch_size=200)
+    p_big = svgp.init_params(jax.random.key(1), x, y, cfg_big)
+    res_big = svgp.fit(p_big, x, y, cfg_big, steps=2, learning_rate=1e-2)
+    assert res_big.elbo_n == 600 and res_big.elbo_exact is True
+
 
 def test_cli_svgp_multidevice(tmp_path, rng):
     """CLI --optimizer svgp on the local 8-device mesh (the hard-error on

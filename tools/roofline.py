@@ -43,23 +43,26 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".jax_cache_tpu"))
 
 # Single source for per-chip datasheet peaks (bench.py owns the table).
 from bench import _PEAK_BF16_TFLOPS
 
 _HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v4": 1228.0, "TPU v5p": 2765.0,
-             "TPU v5": 2765.0, "TPU v6 lite": 1640.0}
+             "TPU v5": 2765.0, "TPU v6 lite": 1640.0, "TPU v6e": 1640.0}
 
 
 def _sync(x):
@@ -252,20 +255,26 @@ def stage_times(n, m, q, d, layout):
     wy = jnp.asarray(rng.standard_normal((m, d)), F)
     kernel = psi_pallas.psi_fused_t if layout == "qn" else psi_pallas.psi_fused
 
+    # y and w ride as jit ARGUMENTS, never closure constants: an O(N)
+    # constant would ship inside the compile payload and hit the tunnel's
+    # /remote_compile size limit at large N (the round-5 root cause —
+    # psi_pallas calibration block; 480 MB at n=1e7/d=12).
     @jax.jit
-    def fwd(mu, s, sf2):
+    def fwd(mu, s, y, w, sf2):
         return kernel(mu, s, z, sf2, alpha, y, w, 64, False)
 
-    def loss(mu, s, sf2):
+    def loss(mu, s, y, w, sf2):
         p1y, p2 = kernel(mu, s, z, sf2, alpha, y, w, 64, False)
         return jnp.sum(p1y * wy) * 1e-3 + jnp.sum(p2) * 1e-6
 
-    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 4)))
 
     # sf2 perturbed per rep: the tunnel dedupes identical dispatches
-    psf2 = lambda a, i: (a[0], a[1], jnp.float32(1.3 + 1e-3 * (i + 1)))
-    t_fwd = _time_best(fwd, (mu, s, jnp.float32(1.3)), reps=4, perturb=psf2)
-    t_vg = _time_best(vg, (mu, s, jnp.float32(1.3)), reps=4, perturb=psf2)
+    psf2 = lambda a, i: a[:4] + (jnp.float32(1.3 + 1e-3 * (i + 1)),)
+    t_fwd = _time_best(fwd, (mu, s, y, w, jnp.float32(1.3)), reps=4,
+                       perturb=psf2)
+    t_vg = _time_best(vg, (mu, s, y, w, jnp.float32(1.3)), reps=4,
+                      perturb=psf2)
 
     # full bound+grad through the model layer
     bij = transforms.get("exp")

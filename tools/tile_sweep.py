@@ -76,30 +76,31 @@ def main():
                 dt = steady(fwd, mk(0), lambda a, i: mk(i + 1))
                 print(f"{layout} fwd tile={tile}: {dt:.4f}s", flush=True)
             except Exception as e:
+                msg = (str(e).splitlines() or ["<no message>"])[0][:90]
                 print(f"{layout} fwd tile={tile}: FAIL "
-                      f"{type(e).__name__}: {str(e).splitlines()[0][:90]}",
-                      flush=True)
+                      f"{type(e).__name__}: {msg}", flush=True)
 
         for tile in (8, 16, 32, 64):
             try:
                 def mkloss(t):
-                    def loss(mu_a, s_a, sf2, ya):
-                        p1y, p2 = fn(mu_a, s_a, z, sf2, alpha, ya, w, t, False)
+                    # every N-sized array (y AND w) rides as a jit argument —
+                    # never a closure constant (the round-5 /remote_compile
+                    # root cause; psi_pallas calibration block)
+                    def loss(mu_a, s_a, sf2, ya, wa):
+                        p1y, p2 = fn(mu_a, s_a, z, sf2, alpha, ya, wa, t, False)
                         return jnp.sum(p1y * wy) * 1e-3 + jnp.sum(p2) * 1e-6
                     return loss
                 g = jax.jit(jax.value_and_grad(mkloss(tile), argnums=(0, 1, 2)))
                 if layout == "nq":
-                    args = (mu, s, jnp.float32(1.3), y)
-                    pert = lambda a, i: (mu, s, jnp.float32(1.3 + 1e-3 * (i + 1)), y)
+                    pert = lambda a, i: (mu, s, jnp.float32(1.3 + 1e-3 * (i + 1)), y, w)
                 else:
-                    args = (mu_t, s_t, jnp.float32(1.3), y_t)
-                    pert = lambda a, i: (mu_t, s_t, jnp.float32(1.3 + 1e-3 * (i + 1)), y_t)
-                dt = steady(g, args, pert)
+                    pert = lambda a, i: (mu_t, s_t, jnp.float32(1.3 + 1e-3 * (i + 1)), y_t, w)
+                dt = steady(g, pert(None, -1), pert)
                 print(f"{layout} fwd+bwd tile={tile}: {dt:.4f}s", flush=True)
             except Exception as e:
+                msg = (str(e).splitlines() or ["<no message>"])[0][:90]
                 print(f"{layout} fwd+bwd tile={tile}: FAIL "
-                      f"{type(e).__name__}: {str(e).splitlines()[0][:90]}",
-                      flush=True)
+                      f"{type(e).__name__}: {msg}", flush=True)
     return 0
 
 
