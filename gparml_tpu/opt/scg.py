@@ -348,7 +348,7 @@ def minimize_stepped(
     nparams = sum(l.size for l in jax.tree.leaves(x0))
 
     f0, g0 = jax.jit(value_and_grad_fn)(x0, *extra)
-    options = _resolve_options(options, jnp.asarray(f0).dtype)
+    options = _resolve_options(options, f0.dtype)
     state = _initial_state(x0, f0, g0, options)
 
     if options.max_iters == 0:
