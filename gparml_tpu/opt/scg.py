@@ -290,16 +290,14 @@ def minimize(
 
 # Above this many data rows the fit drivers (gplvm.fit / sgpr.fit, mode
 # "auto") switch from the fused while_loop to the host-stepped driver.
-# Hardware basis (v5e-1, 2026-08-19, tools/large_n_singlechip.py): fused
-# SCG at N=1e6/M=200 ran 20 iterations in one 99 s program without issue
-# (round 2), but fused SCG at N=1e7/M=500 — one device program holding the
-# full SCG state (~3.2 GB of (Q, N) pytrees x4) plus two chunked
-# bound+grad evals per iteration — crashed the TPU worker ("kernel
-# fault"), while the IDENTICAL standalone jitted evals at that shape
-# completed repeatedly in the same process. Bounding each device program
-# to one SCG iteration (and donating the state between programs) is the
-# fix; 2e6 sits conservatively between the proven-good and proven-bad
-# endpoints.
+# Hardware basis (v5e-1, 2026-08-19): fused SCG at N=1e7/M=500 crashed the
+# TPU worker at 3 iterations (~90-100 s of uninterrupted execution) but
+# PASSED at 1 iteration of the identical program (~40 s execution) — so
+# the failing quantity is single-program execution DURATION, not program
+# size, peak memory, or compile payload (docs/DESIGN.md §5 round-5
+# capture). Since duration per iteration scales with N*M^2, 2e6 rows sits
+# conservatively below where a multi-eval iteration could approach the
+# observed (~40 s, ~90 s] worker-kill bracket.
 STEPPED_N_THRESHOLD = 2_000_000
 
 
