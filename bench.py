@@ -54,6 +54,15 @@ def _smoke_gate():
     out = (proc.stdout or "").strip()
     if proc.returncode == 3:
         _no_hardware_record("no TPU backend (smoke rc 3)")
+    if proc.returncode == 4:
+        # Backend initialized but the smoke died before a parity verdict
+        # (tunnel dropped / worker crash) — "could not check" is an infra
+        # outage, not a kernel regression; keep the JSON artifact.
+        err = (proc.stderr or "").strip().splitlines()
+        _no_hardware_record(
+            "TPU smoke crashed mid-run (infra outage, rc 4): "
+            + (err[-1] if err else "<no message>")[:300]
+        )
     if proc.returncode != 0:
         print(out, file=sys.stderr)
         print((proc.stderr or "")[-2000:], file=sys.stderr)
@@ -318,4 +327,13 @@ def measure_shape(jax, jnp, n, m, q, d, dtype, layout="nq", reps=4):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # Last-resort artifact preservation: an unexpected exception anywhere
+        # in main() (e.g. the tunnel drops between the smoke gate and the
+        # measurements) must still emit the one-line JSON contract instead of
+        # rc 1 (which cost round 3 its BENCH artifact). Deliberate aborts
+        # (kernel parity failure) use SystemExit and are not caught here.
+        msg = (str(e).splitlines() or ["<no message>"])[0][:300]
+        _no_hardware_record(f"bench crashed: {type(e).__name__}: {msg}")

@@ -65,6 +65,44 @@ def test_bench_no_tpu_emits_null_record_and_exits_zero():
     assert "no TPU" in rec["note"]
 
 
+def test_smoke_runner_mid_run_crash_is_rc4():
+    """A crash AFTER the backend initialized (tunnel drop, worker death) is
+    'could not check' (rc 4), never 'parity failed' (rc 1). The
+    GPARML_SMOKE_FORCE_CRASH hook raises at the top of the parity checks."""
+    env = dict(os.environ, GPARML_SMOKE_FORCE_CRASH="1",
+               GPARML_SMOKE_FORCE_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, _RUNNER], capture_output=True, text=True,
+        timeout=300, env=env, cwd=_REPO,
+    )
+    assert proc.returncode == 4, (
+        f"rc={proc.returncode}\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr[-2000:]}"
+    )
+    assert "smoke crashed mid-run" in proc.stderr
+
+
+def test_bench_smoke_crash_emits_null_record_and_exits_zero():
+    """bench.py maps smoke rc 4 to the one-line JSON contract (value=null,
+    the crash message in the note) and exits 0 — the artifact survives an
+    infra outage mid-smoke."""
+    import json
+
+    env = dict(os.environ, GPARML_SMOKE_FORCE_CRASH="1",
+               GPARML_SMOKE_FORCE_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=_REPO,
+    )
+    assert proc.returncode == 0, (
+        f"rc={proc.returncode}\nstdout:\n{proc.stdout}\n"
+        f"stderr:\n{proc.stderr[-2000:]}"
+    )
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rec["value"] is None
+    assert "rc 4" in rec["note"]
+
+
 @pytest.mark.tpu
 @pytest.mark.skipif(
     os.environ.get("GPARML_TPU_TESTS") != "1",

@@ -4,7 +4,10 @@ Runs OUTSIDE the test conftest (which forces the CPU backend), so the fused
 Pallas kernel goes through the real Mosaic compile. Exit codes:
   0  — parity holds on hardware
   3  — no TPU backend available (test skips)
-  1  — parity failure / crash
+  4  — crashed mid-run AFTER the backend initialized (tunnel dropped, worker
+       died, compile infra error) — distinguishable from a measured parity
+       mismatch so bench.py can keep its one-line JSON artifact
+  1  — measured parity failure (values computed and differ)
 """
 
 import os
@@ -36,9 +39,28 @@ def main() -> int:
         # (Round 3 lost its BENCH artifact to exactly this confusion.)
         print(f"no usable backend: {type(e).__name__}: {e}", file=sys.stderr)
         return 3
-    if backend != "tpu":
+    if backend != "tpu" and not os.environ.get("GPARML_SMOKE_FORCE_CRASH"):
+        # (the FORCE_CRASH test hook must reach _parity_checks on a CPU CI
+        # host to exercise the rc-4 mid-run-crash path; it raises before any
+        # device work)
         return 3
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu")
+
+    try:
+        return _parity_checks(jax, jnp)
+    except Exception as e:  # noqa: BLE001
+        # The backend initialized but the run died before a parity verdict
+        # (tunnel outage, worker crash, Mosaic infra error). rc 4, not 1:
+        # "could not check" is not "checked and mismatched", and bench.py
+        # must keep its JSON artifact for the former (round-3 postmortem).
+        print(f"smoke crashed mid-run: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return 4
+
+
+def _parity_checks(jax, jnp) -> int:
+    if os.environ.get("GPARML_SMOKE_FORCE_CRASH"):
+        raise RuntimeError("forced mid-run crash (test hook)")
 
     from gparml_tpu.ops import psi, psi_pallas
 
