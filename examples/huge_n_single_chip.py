@@ -36,6 +36,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tpu"))
     import jax.numpy as jnp
     from gparml_tpu.models import gplvm
     from gparml_tpu.models import params as P

@@ -24,6 +24,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # Persistent compile cache: a cold XLA compile of the N-scaled blocked
+    # scan costs minutes (especially through the remote-TPU tunnel); every
+    # tool and the bench set this, examples must too.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tpu"))
     import jax.numpy as jnp
     from gparml_tpu.models import gplvm
     from gparml_tpu.models import params as P

@@ -13,6 +13,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax
 jax.config.update("jax_enable_x64", True)  # CPU demo: float64, like the reference
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 import jax.numpy as jnp
 
 from gparml_tpu import data
