@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "fit into DIR (reference analog: per-pass wall-clock "
                         "prints, SURVEY §5 tracing row; here you get the full "
                         "XLA op/kernel timeline instead)")
+    p.add_argument("--compile-cache", metavar="DIR", default="auto",
+                   help="persistent XLA compile cache dir ('auto': "
+                        "~/.cache/gparml_tpu/jax_cache, 'none' to disable). "
+                        "A cold compile of the fused fit costs minutes on a "
+                        "remote TPU; with the cache, repeat and resume runs "
+                        "reuse it")
     p.add_argument("--save-partitions", type=int, default=None,
                    help="partition count for saved embeddings (default: match input)")
     return p
@@ -176,6 +182,26 @@ def run(options) -> dict:
     dtype = jnp.float64 if options.dtype == "float64" else jnp.float32
     if options.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+
+    # Persistent compile cache (default on): the fused fit's cold XLA+Mosaic
+    # compile costs minutes on a remote TPU, and the reference's workflow is
+    # run -> inspect -> resume. Combined with the bucketed SCG iteration
+    # budget (opt/scg.py bucket_iters) a resume with a different -T reuses
+    # the first run's program.
+    cache = getattr(options, "compile_cache", "auto")
+    if cache != "none":
+        already = getattr(jax.config, "jax_compilation_cache_dir", None)
+        if cache != "auto":
+            already = None  # explicit dir always wins
+        elif already is None:
+            cache = os.path.expanduser("~/.cache/gparml_tpu/jax_cache")
+        if already is None:
+            try:
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.0)
+            except Exception:
+                pass  # an optimization only; never fail a run over the cache
 
     # ---- mesh + data ----
     # remote = multi-host: every process runs this same program; each loads

@@ -246,16 +246,23 @@ def fit(
 
     if optimizer == "scg":
         opts = scg_options or scg.SCGOptions(max_iters=iters)
+        # The true iteration budget rides as a RUNTIME scalar; max_iters is
+        # bucketed so different -T values produce one compiled program
+        # (persistent-cache hit — a resume with a new T used to recompile
+        # the whole fused fit, minutes through the remote-TPU tunnel).
+        limit = opts.max_iters
+        opts = opts._replace(max_iters=scg.bucket_iters(limit))
         n_rows = (p0.lat.mu.shape[1] if config.layout == "qn"
                   else p0.lat.mu.shape[0])
         if scg.use_stepped(config.scg_mode, n_rows):
             st = scg.minimize_stepped(
                 lambda p, yy, w, m: vg_of(yy, w, m)(p), p0, opts,
-                extra=(y, weights, mask))
+                extra=(y, weights, mask), iter_limit=limit)
         else:
             st = jax.jit(
-                lambda p, y, w, m: scg.minimize(vg_of(y, w, m), p, opts)
-            )(p0, y, weights, mask)
+                lambda p, y, w, m, il: scg.minimize(
+                    vg_of(y, w, m), p, opts, iter_limit=il)
+            )(p0, y, weights, mask, jnp.int32(limit))
         from gparml_tpu.models.sgpr import scg_trace
         return FitResult(st.x, -st.f_now, -st.history.f, st.n_evals, scg_trace(st))
     elif optimizer in ("adam", "gd"):
@@ -335,12 +342,16 @@ def infer_latents(
 
     vg_fn = jax.value_and_grad(neg_bound)
     opts = scg_options or scg_mod.SCGOptions(max_iters=iters)
+    limit = opts.max_iters
+    opts = opts._replace(max_iters=scg_mod.bucket_iters(limit))
     if scg_mod.use_stepped(config.scg_mode, y_new.shape[0]):
-        st = scg_mod.minimize_stepped(vg_fn, lat0, opts, extra=(y_new,))
+        st = scg_mod.minimize_stepped(vg_fn, lat0, opts, extra=(y_new,),
+                                      iter_limit=limit)
     else:
         st = jax.jit(
-            lambda l, yn: scg_mod.minimize(lambda ll: vg_fn(ll, yn), l, opts)
-        )(lat0, y_new)
+            lambda l, yn, il: scg_mod.minimize(
+                lambda ll: vg_fn(ll, yn), l, opts, iter_limit=il)
+        )(lat0, y_new, jnp.int32(limit))
     mu_s, s_s = P.constrain_latents(st.x, config.bijector, config.layout)
     from gparml_tpu.models.sgpr import scg_trace
     return mu_s, s_s, FitResult(

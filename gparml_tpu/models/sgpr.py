@@ -168,14 +168,19 @@ def fit(
 
     if optimizer == "scg":
         opts = scg_options or scg.SCGOptions(max_iters=iters)
+        # true budget as a runtime scalar, bucketed history: one compiled
+        # program across different -T (see gplvm.fit / scg.bucket_iters)
+        limit = opts.max_iters
+        opts = opts._replace(max_iters=scg.bucket_iters(limit))
         if scg.use_stepped(config.scg_mode, x.shape[n_ax]):
             st = scg.minimize_stepped(
                 lambda g, xx, yy, w, m: vg_of(xx, yy, w, m)(g), g0, opts,
-                extra=(x, y, weights, mask))
+                extra=(x, y, weights, mask), iter_limit=limit)
         else:
             st = jax.jit(
-                lambda g, x, y, w, m: scg.minimize(vg_of(x, y, w, m), g, opts)
-            )(g0, x, y, weights, mask)
+                lambda g, x, y, w, m, il: scg.minimize(
+                    vg_of(x, y, w, m), g, opts, iter_limit=il)
+            )(g0, x, y, weights, mask, jnp.int32(limit))
         return FitResult(st.x, -st.f_now, -st.history.f, st.n_evals, scg_trace(st))
     elif optimizer in ("adam", "gd"):
         import optax

@@ -255,10 +255,26 @@ def _make_body(value_and_grad_fn: Callable, options: SCGOptions, nparams: int):
     return body
 
 
+def bucket_iters(iters: int) -> int:
+    """Static history capacity for a given iteration budget: rounds up to a
+    shared bucket (>=128, power of two) so fits with different ``iters``
+    trace to IDENTICAL programs — the true limit rides as a runtime scalar
+    (``iter_limit``) and the loop still stops there. One persistent-cache
+    entry then serves every T <= bucket: without this, a resume with a
+    different -T recompiled the whole fused fit (~minutes through the
+    remote-TPU tunnel). History stays nan-padded past the executed
+    iterations, which every consumer already drops (utils.logging
+    write_history)."""
+    if iters <= 0:
+        return iters
+    return max(128, 1 << (iters - 1).bit_length())
+
+
 def minimize(
     value_and_grad_fn: Callable,
     x0,
     options: SCGOptions = SCGOptions(),
+    iter_limit=None,
 ) -> SCGState:
     """Minimize ``value_and_grad_fn`` (params -> (f, grad pytree)) with SCG.
 
@@ -266,6 +282,12 @@ def minimize(
     ``state.history`` an SCGHistory of per-iteration (f, ||grad||^2, lambda,
     alpha, accepted) arrays (nan/False where the loop had already
     converged). Call under jit for a fully fused loop.
+
+    ``iter_limit`` (optional, <= options.max_iters) may be a TRACED scalar:
+    ``options.max_iters`` then only sizes the history arrays (see
+    ``bucket_iters``) while the loop stops at the runtime limit — callers
+    that jit this with the limit as an argument share one compiled program
+    across different iteration budgets.
     """
     nparams = sum(l.size for l in jax.tree.leaves(x0))
 
@@ -278,11 +300,17 @@ def minimize(
         # a size-0 history cannot be indexed even in dead code)
         return state
 
+    if iter_limit is None:
+        iter_limit = options.max_iters
+    # clamp into the history capacity; stays traced if iter_limit is traced
+    iter_limit = jnp.minimum(jnp.asarray(iter_limit, jnp.int32),
+                             jnp.int32(options.max_iters))
+
     if options.trace_timing:
         _stamp(jnp.int32(-1))  # loop-entry stamp: baseline free of compile time
 
     def cond(st: SCGState):
-        return jnp.logical_and(st.iteration < options.max_iters, ~st.done)
+        return jnp.logical_and(st.iteration < iter_limit, ~st.done)
 
     body = _make_body(value_and_grad_fn, options, nparams)
     return jax.lax.while_loop(cond, body, state)
@@ -319,6 +347,7 @@ def minimize_stepped(
     x0,
     options: SCGOptions = SCGOptions(),
     extra: tuple = (),
+    iter_limit: int = None,
 ) -> SCGState:
     """``minimize`` with one jitted device program PER SCG ITERATION instead
     of one fused while_loop program for the whole fit.
@@ -342,6 +371,8 @@ def minimize_stepped(
     ``value_and_grad_fn(p, *extra)``: ``extra`` rides as jit arguments (not
     closure constants) — pass data/weights/masks there, exactly like the
     fit drivers do for the fused path. Must NOT be called under jit.
+    ``iter_limit`` (host int, <= options.max_iters) bounds the host loop
+    when options.max_iters is a bucketed history capacity (bucket_iters).
     """
     nparams = sum(l.size for l in jax.tree.leaves(x0))
 
@@ -382,8 +413,11 @@ def minimize_stepped(
                         options, nparams)(_merge(big, rest))
         return _split(st)
 
+    # host-side loop bound; max_iters only sizes the history (bucket_iters)
+    limit = options.max_iters if iter_limit is None else min(
+        int(iter_limit), options.max_iters)
     big, rest = _split(state)
-    while (int(rest.iteration) < options.max_iters
+    while (int(rest.iteration) < limit
            and not bool(rest.done)):
         big, rest = step(big, rest, *extra)
     return _merge(big, rest)

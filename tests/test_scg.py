@@ -55,6 +55,74 @@ def test_pytree_params_and_monotone_history():
     assert np.asarray(st.history.accepted)[valid].any()
 
 
+def test_bucket_iters():
+    assert scg.bucket_iters(0) == 0
+    assert scg.bucket_iters(1) == 128
+    assert scg.bucket_iters(100) == 128
+    assert scg.bucket_iters(128) == 128
+    assert scg.bucket_iters(129) == 256
+    assert scg.bucket_iters(1000) == 1024
+
+
+def test_dynamic_iter_limit_matches_static():
+    """minimize with a bucketed history + traced iter_limit must run the
+    EXACT same trajectory as the static max_iters program, stopping at the
+    same iteration — the limit only moves from a compile-time constant to a
+    runtime scalar (one shared program across different -T budgets)."""
+    a = jnp.asarray(np.diag([1.0, 4.0, 9.0, 0.5]))
+    b = jnp.asarray(np.array([1.0, -2.0, 3.0, 0.2]))
+
+    def vg(x):
+        f = 0.5 * x @ a @ x - b @ x
+        return f, a @ x - b
+
+    x0 = jnp.full(4, 0.3)
+    for t in (3, 17):
+        static = jax.jit(
+            lambda x: scg.minimize(vg, x, scg.SCGOptions(max_iters=t))
+        )(x0)
+        opts = scg.SCGOptions(max_iters=scg.bucket_iters(t))
+        dyn = jax.jit(
+            lambda x, il: scg.minimize(vg, x, opts, iter_limit=il)
+        )(x0, jnp.int32(t))
+        assert int(dyn.iteration) == int(static.iteration)
+        np.testing.assert_array_equal(np.asarray(dyn.x), np.asarray(static.x))
+        k = int(static.iteration)
+        np.testing.assert_array_equal(
+            np.asarray(dyn.history.f)[:k], np.asarray(static.history.f)[:k])
+        # padding beyond the executed iterations stays nan (dropped by
+        # utils.logging.write_history)
+        assert np.all(np.isnan(np.asarray(dyn.history.f)[k:]))
+
+    # the clamp: a limit above the history capacity cannot overrun it
+    opts8 = scg.SCGOptions(max_iters=8)
+    over = jax.jit(
+        lambda x, il: scg.minimize(vg, x, opts8, iter_limit=il)
+    )(x0, jnp.int32(50))
+    assert int(over.iteration) <= 8
+
+
+def test_fit_shares_program_across_iteration_budgets():
+    """gplvm.fit traces to the same jaxpr shapes for different `iters` below
+    one bucket: the history capacity is bucketed and the budget rides as a
+    runtime scalar, so a resume with a new -T hits the persistent compile
+    cache instead of recompiling the fused fit."""
+    from gparml_tpu.models import gplvm
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((40, 4)), jnp.float32)
+    cfg = gplvm.GPLVMConfig(q=2, num_inducing=6)
+    p0 = gplvm.init_params(jax.random.key(0), y, cfg)
+    r20 = gplvm.fit(p0, y, cfg, iters=20)
+    r50 = gplvm.fit(p0, y, cfg, iters=50)
+    # same bucket -> same history capacity; trajectories agree on the
+    # shared prefix (identical algorithm, identical program)
+    assert r20.history.shape == r50.history.shape == (128,)
+    h20, h50 = np.asarray(r20.history), np.asarray(r50.history)
+    k = min(int(np.isfinite(h20).sum()), int(np.isfinite(h50).sum()), 20)
+    np.testing.assert_array_equal(h20[:k], h50[:k])
+
+
 def test_stepped_matches_fused_quadratic():
     """minimize_stepped executes the identical algorithm (shared body):
     bit-level trajectory parity with the fused while_loop driver."""
